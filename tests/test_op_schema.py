@@ -1,0 +1,95 @@
+"""Op schema / parameter metadata tests."""
+from __future__ import annotations
+
+from yamimageprocessor_tpu.ops.schema import (
+    ALL_OPS,
+    EXTRACTION_OPS,
+    PREPROCESS_OPS,
+    SEGMENTATION_OPS,
+    Stage,
+    op_by_method,
+    settings_defaults,
+)
+
+
+def test_op_counts_match_reference_inventory():
+    # 8 preprocessing modules (modules/preprocessing.py:41-277), 21 segmentation
+    # methods (processing/segmentation_pipeline.py:84-184), 10 extraction
+    # methods (processing/extraction_pipeline.py:77-137).
+    assert len(PREPROCESS_OPS) == 8
+    assert len(SEGMENTATION_OPS) == 21
+    assert len(EXTRACTION_OPS) == 10
+
+
+def test_identifiers_unique():
+    ids = [op.identifier for op in ALL_OPS]
+    assert len(ids) == len(set(ids))
+
+
+def test_odd_coercion():
+    op = op_by_method(Stage.PREPROCESSING, "noise_reduction")
+    spec = op.param("ksize")
+    assert spec.coerce(4) == 5
+    assert spec.coerce(5) == 5
+    assert spec.coerce(100) == 31
+    assert spec.coerce("7") == 7
+
+
+def test_choice_coercion_falls_back_to_default():
+    op = op_by_method(Stage.PREPROCESSING, "select_channel")
+    spec = op.param("value")
+    assert spec.coerce("R") == "R"
+    assert spec.coerce("bogus") == "All"
+
+
+def test_clamping():
+    op = op_by_method(Stage.SEGMENTATION, "Global")
+    spec = op.param("threshold")
+    assert spec.coerce(-5) == 0
+    assert spec.coerce(300) == 255
+    assert spec.coerce(12.7) == 13
+
+
+def test_region_growing_settings_translation():
+    op = op_by_method(Stage.SEGMENTATION, "Region Growing")
+    params = op.params_from_settings(
+        {
+            "segmentation/Region Growing/seed_x": 10,
+            "segmentation/Region Growing/seed_y": 20,
+            "segmentation/Region Growing/tolerance": 5,
+        }
+    )
+    assert params == {"seed": (10, 20), "tolerance": 5}
+
+
+def test_hog_settings_translation():
+    op = op_by_method(Stage.ANALYSIS, "HOG")
+    params = op.params_from_settings(
+        {"extraction/HOG/orientations": 6, "extraction/HOG/ppc": 4, "extraction/HOG/cpb": 2}
+    )
+    assert params == {
+        "orientations": 6,
+        "pixels_per_cell": (4, 4),
+        "cells_per_block": (2, 2),
+    }
+
+
+def test_grayscale_enabled_key_is_bare_bool():
+    op = op_by_method(Stage.PREPROCESSING, "grayscale")
+    assert op.settings_enabled_key == "preprocess/grayscale"
+    assert op.settings_keys() == {"preprocess/grayscale": False}
+
+
+def test_settings_defaults_cover_all_ops():
+    defaults = settings_defaults()
+    for op in ALL_OPS:
+        assert op.settings_enabled_key in defaults
+    assert defaults["segmentation/Watershed/distance_threshold_factor"] == 0.7
+    assert defaults["extraction/HOG/ppc"] == 8
+    assert defaults["preprocess/crop/width"] == 100
+
+
+def test_sanitize_parameters_drops_unknown():
+    op = op_by_method(Stage.PREPROCESSING, "brightness_contrast")
+    clean = op.sanitize_parameters({"alpha": "2.0", "beta": 999, "bogus": 1})
+    assert clean == {"alpha": 2.0, "beta": 255.0}
