@@ -12,8 +12,10 @@ import os
 import sys
 from pathlib import Path
 
-# Must happen before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax import.  NOTE: this environment force-sets
+# JAX_PLATFORMS=axon via sitecustomize, so a plain setdefault would leave
+# the suite running against the real TPU tunnel — override hard.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,6 +27,22 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 import pytest
+
+
+def _configure_jax() -> None:
+    """Force the CPU harness + persistent compilation cache."""
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cache_dir = REPO_ROOT / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_configure_jax()
 
 
 def pytest_addoption(parser: pytest.Parser) -> None:

@@ -13,10 +13,13 @@ from yamimageprocessor_tpu.ops.schema import (
 
 
 def test_op_counts_match_reference_inventory():
-    # 8 preprocessing modules (modules/preprocessing.py:41-277), 21 segmentation
-    # methods (processing/segmentation_pipeline.py:84-184), 10 extraction
-    # methods (processing/extraction_pipeline.py:77-137).
-    assert len(PREPROCESS_OPS) == 8
+    # 8 preprocessing modules (modules/preprocessing.py:41-277) plus the
+    # histogram-equalization kernel that has no module/settings entry
+    # (core/preprocessing.py:73-79); 21 segmentation methods
+    # (processing/segmentation_pipeline.py:84-184); 10 extraction methods
+    # (processing/extraction_pipeline.py:77-137).
+    assert len([op for op in PREPROCESS_OPS if op.persisted]) == 8
+    assert len(PREPROCESS_OPS) == 9
     assert len(SEGMENTATION_OPS) == 21
     assert len(EXTRACTION_OPS) == 10
 
@@ -83,7 +86,8 @@ def test_grayscale_enabled_key_is_bare_bool():
 def test_settings_defaults_cover_all_ops():
     defaults = settings_defaults()
     for op in ALL_OPS:
-        assert op.settings_enabled_key in defaults
+        if op.persisted:
+            assert op.settings_enabled_key in defaults
     assert defaults["segmentation/Watershed/distance_threshold_factor"] == 0.7
     assert defaults["extraction/HOG/ppc"] == 8
     assert defaults["preprocess/crop/width"] == 100

@@ -1,0 +1,183 @@
+"""Tile streaming: non-materialization, reference box order, halo
+correctness (tiled == dense bitwise even for stencil ops — the reference's
+tiling is wrong at tile borders; ours must not be).
+
+Models the reference's streaming suite
+(``tests/test_pipeline_streaming_large.py:52-198``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.ops.schema import Stage
+from yamimageprocessor_tpu.parallel.tiling import iter_tile_boxes
+from yamimageprocessor_tpu.pipeline.cache import PipelineCache
+from yamimageprocessor_tpu.pipeline.manager import PipelineManager
+from yamimageprocessor_tpu.pipeline.step import PipelineStep
+from yamimageprocessor_tpu.pipeline.tiled_records import TiledPipelineImage
+
+
+class _SyntheticStreamingRecord:
+    """Tiled source that refuses to materialize (mirrors the reference's
+    fake at tests/test_pipeline_streaming_large.py:52-108)."""
+
+    def __init__(self, array: np.ndarray, allow_materialize: bool = False):
+        self._array = array
+        self.allow_materialize = allow_materialize
+        self.shape = array.shape
+        self.dtype = array.dtype
+        self.read_boxes = []
+
+    def read_region(self, box):
+        left, top, right, bottom = box
+        self.read_boxes.append(tuple(box))
+        return np.array(self._array[top:bottom, left:right, ...], copy=True)
+
+    def iter_tiles(self, tile_size=None):
+        h, w = self._array.shape[:2]
+        for box in iter_tile_boxes(w, h, tile_size):
+            yield box, self.read_region(box)
+
+    def to_array(self):
+        if not self.allow_materialize:
+            raise AssertionError("streaming source must not be materialized")
+        return self._array
+
+
+def _frame(h=96, w=128):
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def test_tile_box_order_matches_reference():
+    boxes = list(iter_tile_boxes(100, 50, (32, 32)))
+    assert boxes[0] == (0, 0, 32, 32)
+    assert boxes[1] == (32, 0, 64, 32)
+    assert boxes[3] == (96, 0, 100, 32)  # remainder column
+    assert boxes[4] == (0, 32, 32, 50)  # next row, remainder height
+    assert len(boxes) == 8
+
+
+def test_streaming_never_materializes():
+    array = _frame()
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    steps = [
+        PipelineStep(
+            name="BrightnessContrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.2, "beta": 4.0},
+        )
+    ]
+    manager = PipelineManager(steps)
+    out = manager.apply(image)
+    assert out.shape == array.shape
+    impl_golden = steps[0].impl.golden_fn(array, alpha=1.2, beta=4.0)
+    assert (out == impl_golden).all()
+
+
+def test_halo_correct_stencil_tiling():
+    """Gaussian blur across tile borders must equal the dense result —
+    the property the reference's halo-less tiling lacks (SURVEY §5)."""
+
+    array = _frame()
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 7},
+        ),
+        PipelineStep(
+            name="BrightnessContrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.1, "beta": 0.0},
+        ),
+    ]
+    manager = PipelineManager(steps)
+    tiled_out = manager.apply(image)
+    dense_out = manager.apply(array)
+    assert (tiled_out == dense_out).all()
+
+
+def test_median_halo_correct():
+    array = _frame()
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(48, 48))
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Median", "ksize": 5},
+        )
+    ]
+    manager = PipelineManager(steps)
+    tiled_out = manager.apply(image)
+    dense_out = manager.apply(array)
+    assert (tiled_out == dense_out).all()
+
+
+def test_cache_tiled_incremental_updates():
+    array = _frame(64, 96)
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    cache = PipelineCache()
+    sid = cache.register_source_by_token("synthetic:1")
+    steps = [
+        PipelineStep(
+            name="BrightnessContrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.5, "beta": 0.0},
+        )
+    ]
+    updates = []
+    result = cache.compute(sid, image, steps, incremental=updates.append)
+    assert len(updates) == 6  # 3x2 tiles
+    assert [u.box for u in updates] == list(iter_tile_boxes(96, 64, (32, 32)))
+    assert all(u.step_index == 1 and u.total_steps == 1 for u in updates)
+    reassembled = np.zeros_like(result.image)
+    for u in updates:
+        left, top, right, bottom = u.box
+        reassembled[top:bottom, left:right] = u.tile
+    assert (reassembled == result.image).all()
+
+
+def test_global_op_falls_back_to_dense():
+    array = _frame(64, 64)
+    record = _SyntheticStreamingRecord(array, allow_materialize=True)
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    steps = [PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={})]
+    manager = PipelineManager(steps)
+    out = manager.apply(image)
+    dense = manager.apply(array)
+    assert (out == dense).all()
+
+
+@pytest.mark.performance
+def test_streaming_budget():
+    """2048x1536 float32 through a 2-step chain (reference budget:
+    <3 s wall on CI CPU, tests/test_pipeline_streaming_large.py:166-198)."""
+
+    import resource
+    import time
+
+    array = (np.random.default_rng(0).random((1536, 2048)) * 255).astype(np.uint8)
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(256, 256))
+    steps = [
+        PipelineStep(
+            name="BrightnessContrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.2, "beta": 1.0},
+        ),
+        PipelineStep(name="Gamma", stage=Stage.PREPROCESSING, params={"value": 1.4}),
+    ]
+    manager = PipelineManager(steps)
+    manager.apply(image)  # warm compile
+    start = time.monotonic()
+    out = manager.apply(image)
+    elapsed = time.monotonic() - start
+    assert out.shape == array.shape
+    assert elapsed < 3.0, f"streaming took {elapsed:.2f}s"

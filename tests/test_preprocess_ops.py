@@ -1,0 +1,264 @@
+"""Preprocessing op parity: device (jnp) == golden (numpy) == cv2 reference.
+
+The cv2 calls below mirror the reference kernels in
+``core/preprocessing.py:50-151`` and serve as the behavioral oracle.
+"""
+from __future__ import annotations
+
+import cv2
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.ops.registry import get_impl
+
+
+def _structured_bgr(h=96, w=120):
+    y, x = np.mgrid[:h, :w]
+    b = (x * 255 / w).astype(np.uint8)
+    g = (y * 255 / h).astype(np.uint8)
+    r = ((x + y) % 256).astype(np.uint8)
+    img = np.stack([b, g, r], axis=-1)
+    img[20:40, 30:70] = (250, 10, 128)
+    return img
+
+
+@pytest.fixture()
+def bgr(rng):
+    img = rng.integers(0, 256, (96, 120, 3), dtype=np.uint8)
+    img[10:30, 10:50] = 200
+    return img
+
+
+@pytest.fixture()
+def gray(rng):
+    return rng.integers(0, 256, (96, 120), dtype=np.uint8)
+
+
+def run_device(identifier, image, **params):
+    import jax.numpy as jnp
+
+    impl = get_impl(identifier)
+    static, dyn = impl.split(params)
+    dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+    out = impl.device_fn(jnp.asarray(image), dyn_j, **static)
+    return np.asarray(out)
+
+
+def assert_triple(identifier, image, cv2_fn, max_cv2_diff=0, max_dev_diff=0, **params):
+    """golden vs cv2 within max_cv2_diff; device vs golden within max_dev_diff."""
+
+    impl = get_impl(identifier)
+    golden = impl.golden_fn(image, **params)
+    oracle = cv2_fn(image)
+    assert golden.shape == oracle.shape, identifier
+    diff = np.abs(golden.astype(np.int32) - oracle.astype(np.int32)).max()
+    assert diff <= max_cv2_diff, f"{identifier}: golden vs cv2 diff {diff}"
+    device = run_device(identifier, image, **params)
+    ddiff = np.abs(device.astype(np.int32) - golden.astype(np.int32)).max()
+    assert ddiff <= max_dev_diff, f"{identifier}: device vs golden diff {ddiff}"
+    return golden
+
+
+# ---------------------------------------------------------------------------
+def test_grayscale(bgr):
+    assert_triple(
+        "preprocessing.grayscale",
+        bgr,
+        lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2GRAY),
+    )
+
+
+def test_grayscale_passthrough(gray):
+    impl = get_impl("preprocessing.grayscale")
+    assert (impl.golden_fn(gray) == gray).all()
+
+
+@pytest.mark.parametrize("alpha,beta", [(1.0, 0.0), (1.5, 20.0), (0.7, -30.0), (2.3, 5.5)])
+def test_brightness_contrast(bgr, alpha, beta):
+    assert_triple(
+        "preprocessing.brightness_contrast",
+        bgr,
+        lambda im: cv2.convertScaleAbs(im, alpha=alpha, beta=beta),
+        max_cv2_diff=1,  # cv2 computes in float64; we are float32 end-to-end
+        alpha=alpha,
+        beta=beta,
+    )
+
+
+@pytest.mark.parametrize("value", [0.4, 1.0, 2.2, 5.0])
+def test_gamma(bgr, value):
+    inv = 1.0 / value
+    table = np.array([(i / 255.0) ** inv * 255 for i in range(256)]).astype("uint8")
+    assert_triple(
+        "preprocessing.gamma", bgr, lambda im: cv2.LUT(im, table), value=value
+    )
+
+
+def test_histogram_equalization_gray(gray):
+    assert_triple(
+        "preprocessing.histogram_equalization", gray, cv2.equalizeHist
+    )
+
+
+def test_histogram_equalization_color(bgr):
+    def oracle(im):
+        ycrcb = cv2.cvtColor(im, cv2.COLOR_BGR2YCrCb)
+        ycrcb[:, :, 0] = cv2.equalizeHist(ycrcb[:, :, 0])
+        return cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2BGR)
+
+    assert_triple("preprocessing.histogram_equalization", bgr, oracle)
+
+
+def test_histogram_equalization_constant():
+    img = np.full((32, 32), 9, np.uint8)
+    assert_triple("preprocessing.histogram_equalization", img, cv2.equalizeHist)
+
+
+@pytest.mark.parametrize("alpha,beta", [(0.0, 255.0), (10.0, 200.0)])
+def test_normalize(bgr, alpha, beta):
+    assert_triple(
+        "preprocessing.normalize",
+        bgr,
+        lambda im: cv2.normalize(im, None, alpha, beta, cv2.NORM_MINMAX),
+        max_cv2_diff=1,
+        alpha=alpha,
+        beta=beta,
+    )
+
+
+def test_normalize_constant():
+    img = np.full((16, 16), 40, np.uint8)
+    out = get_impl("preprocessing.normalize").golden_fn(img, alpha=0.0, beta=255.0)
+    ref = cv2.normalize(img, None, 0.0, 255.0, cv2.NORM_MINMAX)
+    assert (out == ref).all()
+
+
+@pytest.mark.parametrize("ksize", [3, 5, 9])
+def test_gaussian_noise_reduction(bgr, ksize):
+    assert_triple(
+        "preprocessing.noise_reduction",
+        bgr,
+        lambda im: cv2.GaussianBlur(im, (ksize, ksize), 0),
+        max_cv2_diff=1,  # cv2 8u path is 16-bit fixed point
+        max_dev_diff=1,  # float reduction-order ties
+        method="Gaussian",
+        ksize=ksize,
+    )
+
+
+@pytest.mark.parametrize("ksize", [3, 5])
+def test_median_noise_reduction(bgr, ksize):
+    assert_triple(
+        "preprocessing.noise_reduction",
+        bgr,
+        lambda im: cv2.medianBlur(im, ksize),
+        method="Median",
+        ksize=ksize,
+    )
+
+
+def test_median_even_ksize_coerced(gray):
+    # core/preprocessing.py:83-84 bumps even ksize
+    impl = get_impl("preprocessing.noise_reduction")
+    assert (
+        impl.golden_fn(gray, method="Median", ksize=4)
+        == cv2.medianBlur(gray, 5)
+    ).all()
+
+
+@pytest.mark.parametrize("ksize", [5, 9])
+def test_bilateral_noise_reduction(gray, ksize):
+    assert_triple(
+        "preprocessing.noise_reduction",
+        gray,
+        lambda im: cv2.bilateralFilter(im, ksize, 75, 75),
+        max_cv2_diff=1,
+        max_dev_diff=1,
+        method="Bilateral",
+        ksize=ksize,
+    )
+
+
+def test_bilateral_color(bgr):
+    assert_triple(
+        "preprocessing.noise_reduction",
+        bgr,
+        lambda im: cv2.bilateralFilter(im, 5, 75, 75),
+        max_cv2_diff=1,
+        max_dev_diff=1,
+        method="Bilateral",
+        ksize=5,
+    )
+
+
+@pytest.mark.parametrize("strength", [0.5, 1.0, 2.0])
+def test_sharpen(bgr, strength):
+    def oracle(im):
+        blurred = cv2.GaussianBlur(im, (0, 0), sigmaX=3)
+        return cv2.addWeighted(im, 1 + strength, blurred, -strength, 0)
+
+    assert_triple(
+        "preprocessing.sharpen",
+        bgr,
+        oracle,
+        max_cv2_diff=2,  # blur rounding feeds the weighted sum
+        max_dev_diff=1,
+        strength=strength,
+    )
+
+
+@pytest.mark.parametrize("value", ["All", "R", "G", "B", "RG", "GB", "BR"])
+def test_select_channel(bgr, value):
+    def oracle(im):
+        blue, green, red = cv2.split(im)
+        if value == "All":
+            return im
+        if value == "R":
+            return red
+        if value == "G":
+            return green
+        if value == "B":
+            return blue
+        pair = {
+            "RG": (red, green),
+            "GB": (green, blue),
+            "BR": (blue, red),
+        }[value]
+        return np.uint8((pair[0].astype(np.float32) + pair[1].astype(np.float32)) / 2)
+
+    assert_triple("preprocessing.select_channel", bgr, oracle, value=value)
+
+
+def test_select_channel_gray_input(gray):
+    out = get_impl("preprocessing.select_channel").golden_fn(gray, value="R")
+    ref = cv2.split(cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR))[2]
+    assert (out == ref).all()
+
+
+def test_crop(bgr):
+    golden = assert_triple(
+        "preprocessing.crop",
+        bgr,
+        lambda im: im[10 : 10 + 40, 20 : 20 + 60],
+        x_offset=20,
+        y_offset=10,
+        width=60,
+        height=40,
+        apply_crop=True,
+    )
+    assert golden.shape == (40, 60, 3)
+
+
+def test_crop_overlay_matches_cv2(bgr):
+    ref = bgr.copy()
+    overlay = ref.copy()
+    cv2.rectangle(overlay, (20, 10), (80, 50), (0, 255, 0), thickness=-1)
+    blended = cv2.addWeighted(overlay, 0.3, ref, 0.7, 0)
+    out = get_impl("preprocessing.crop").golden_fn(
+        bgr, x_offset=20, y_offset=10, width=60, height=40, apply_crop=False
+    )
+    # interior of the fill (away from the thickness-2 border) must match
+    inner = (slice(14, 47), slice(24, 77))
+    assert np.abs(
+        out[inner].astype(int) - blended[inner].astype(int)
+    ).max() <= 1

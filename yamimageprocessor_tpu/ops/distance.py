@@ -1,0 +1,124 @@
+"""Chamfer distance transform (cv2.distanceTransform DIST_L2, maskSize 5).
+
+Reference usage: watershed sure-foreground extraction
+(``core/segmentation.py:104``).  cv2's 5x5 L2 chamfer uses step weights
+a=1.0 (axial), b=1.4 (diagonal), c=2.1969 (knight) — validated to 1e-7
+against cv2 empirically.
+
+Both paths share the same arithmetic so they are bit-identical:
+
+* vertical candidates from rows i-1 / i-2 merge elementwise (exact float
+  adds in identical order);
+* the in-row axial propagation min_{j' <= j}(cand[j'] + a*(j-j')) is computed
+  with the linear-offset trick  (min-prefix of cand[j'] - j') + j , which is
+  an exact min over exact float32 values — order independent, hence safe for
+  numpy's sequential accumulate and XLA's associative scan alike.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+A, B, C = np.float32(1.0), np.float32(1.4), np.float32(2.1969)
+INF = np.float32(3.0e8)
+
+
+def _row_relax_np(d: np.ndarray) -> np.ndarray:
+    """In-row two-sided axial relaxation (weight A == 1.0, exact)."""
+
+    w = d.shape[-1]
+    j = np.arange(w, dtype=np.float32)
+    left = np.minimum.accumulate(d - j, axis=-1) + j
+    right = np.minimum.accumulate((d + j)[..., ::-1], axis=-1)[..., ::-1] - j
+    return np.minimum(left, right)
+
+
+def distance_transform_np(binary: np.ndarray) -> np.ndarray:
+    """Distance to the nearest zero pixel; ``binary`` != 0 is foreground."""
+
+    h, w = binary.shape
+    d = np.where(binary != 0, INF, np.float32(0.0)).astype(np.float32)
+
+    def vert_candidates(rows: np.ndarray, rows2: np.ndarray) -> np.ndarray:
+        """Candidates for a row given previous row(s) (already final)."""
+
+        cand = np.full(w, INF, dtype=np.float32)
+        r1 = np.pad(rows, 2, constant_values=INF)
+        cand = np.minimum(cand, r1[2:-2] + A)  # (±1, 0)
+        cand = np.minimum(cand, r1[1:-3] + B)  # (±1,-1)
+        cand = np.minimum(cand, r1[3:-1] + B)  # (±1,+1)
+        cand = np.minimum(cand, r1[:-4] + C)  # (±1,-2)
+        cand = np.minimum(cand, r1[4:] + C)  # (±1,+2)
+        if rows2 is not None:
+            r2 = np.pad(rows2, 2, constant_values=INF)
+            cand = np.minimum(cand, r2[1:-3] + C)  # (±2,-1)
+            cand = np.minimum(cand, r2[3:-1] + C)  # (±2,+1)
+        return cand
+
+    # forward
+    for i in range(h):
+        cand = d[i]
+        if i >= 1:
+            cand = np.minimum(cand, vert_candidates(d[i - 1], d[i - 2] if i >= 2 else None))
+        d[i] = _row_relax_np(cand[None, :])[0]
+    # backward
+    for i in range(h - 1, -1, -1):
+        cand = d[i]
+        if i + 1 < h:
+            cand = np.minimum(
+                cand, vert_candidates(d[i + 1], d[i + 2] if i + 2 < h else None)
+            )
+        d[i] = _row_relax_np(cand[None, :])[0]
+    return d
+
+
+def distance_transform_j(binary):
+    """Device twin (bit-identical to :func:`distance_transform_np`)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = binary.shape
+    d0 = jnp.where(binary != 0, INF, jnp.float32(0.0))
+    j = jnp.arange(w, dtype=jnp.float32)
+
+    def row_relax(row):
+        left = jax.lax.associative_scan(jnp.minimum, row - j) + j
+        right = (
+            jax.lax.associative_scan(jnp.minimum, (row + j)[::-1])[::-1] - j
+        )
+        return jnp.minimum(left, right)
+
+    def vert_candidates(r1, r2):
+        p1 = jnp.pad(r1, 2, constant_values=INF)
+        cand = jnp.full((w,), INF)
+        cand = jnp.minimum(cand, p1[2:-2] + A)
+        cand = jnp.minimum(cand, p1[1:-3] + B)
+        cand = jnp.minimum(cand, p1[3:-1] + B)
+        cand = jnp.minimum(cand, p1[:-4] + C)
+        cand = jnp.minimum(cand, p1[4:] + C)
+        p2 = jnp.pad(r2, 2, constant_values=INF)
+        cand = jnp.minimum(cand, p2[1:-3] + C)
+        cand = jnp.minimum(cand, p2[3:-1] + C)
+        return cand
+
+    inf_row = jnp.full((w,), INF)
+
+    def fwd_step(carry, row):
+        prev1, prev2 = carry
+        cand = jnp.minimum(row, vert_candidates(prev1, prev2))
+        new = row_relax(cand)
+        return (new, prev1), new
+
+    (_, _), fwd = jax.lax.scan(fwd_step, (inf_row, inf_row), d0)
+
+    def bwd_step(carry, row):
+        prev1, prev2 = carry
+        cand = jnp.minimum(row, vert_candidates(prev1, prev2))
+        new = row_relax(cand)
+        return (new, prev1), new
+
+    (_, _), bwd = jax.lax.scan(bwd_step, (inf_row, inf_row), fwd[::-1])
+    return bwd[::-1]
+
+
+__all__ = ["distance_transform_np", "distance_transform_j", "A", "B", "C"]

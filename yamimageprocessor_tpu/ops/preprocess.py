@@ -1,0 +1,476 @@
+"""The 8 preprocessing ops: numpy golden twins + jittable device functions.
+
+Reference kernels: ``core/preprocessing.py:50-151`` (cv2-based); module
+wrappers ``modules/preprocessing.py:41-277``.  Every op is a pure function
+pair registered in :mod:`yamimageprocessor_tpu.ops.registry`:
+
+* golden — numpy float32/int semantics (the framework's CPU reference path;
+  validated against cv2 in the parity suite);
+* device — jnp, shape/params-static structure with host-precomputed LUTs and
+  filter taps arriving as dynamic inputs (no recompile on parameter tweaks).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from yamimageprocessor_tpu.ops import _kernels as K
+from yamimageprocessor_tpu.ops import color as C
+from yamimageprocessor_tpu.ops import filters as F
+from yamimageprocessor_tpu.ops.registry import register_op
+
+# ---------------------------------------------------------------------------
+# Grayscale (core/preprocessing.py:53-57)
+
+
+def grayscale_np(image: np.ndarray) -> np.ndarray:
+    return C.bgr_to_gray_np(image)
+
+
+def grayscale_j(img, dyn):
+    return C.bgr_to_gray_j(img)
+
+
+register_op(
+    "preprocessing.grayscale",
+    golden_fn=grayscale_np,
+    device_fn=grayscale_j,
+    split=lambda params: ({}, {}),
+)
+
+
+# ---------------------------------------------------------------------------
+# Brightness / contrast (core/preprocessing.py:59-63: cv2.convertScaleAbs)
+
+
+def brightness_contrast_np(image: np.ndarray, alpha: float = 1.0, beta: float = 0.0):
+    if alpha <= 0:
+        raise ValueError("Alpha must be > 0")
+    scaled = image.astype(np.float32) * np.float32(alpha) + np.float32(beta)
+    return F.to_uint8_np(np.abs(scaled))
+
+
+def brightness_contrast_j(img, dyn):
+    import jax.numpy as jnp
+
+    scaled = img.astype(jnp.float32) * dyn["alpha"] + dyn["beta"]
+    return F.to_uint8_j(jnp.abs(scaled))
+
+
+register_op(
+    "preprocessing.brightness_contrast",
+    golden_fn=brightness_contrast_np,
+    device_fn=brightness_contrast_j,
+    split=lambda params: (
+        {},
+        {
+            "alpha": np.float32(params.get("alpha", 1.0)),
+            "beta": np.float32(params.get("beta", 0.0)),
+        },
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Gamma LUT (core/preprocessing.py:65-71)
+
+
+def gamma_np(image: np.ndarray, value: float = 1.0) -> np.ndarray:
+    if value <= 0:
+        raise ValueError("Gamma must be > 0")
+    return K.gamma_lut(value)[image]
+
+
+def gamma_j(img, dyn):
+    return dyn["lut"][img]
+
+
+register_op(
+    "preprocessing.gamma",
+    golden_fn=gamma_np,
+    device_fn=gamma_j,
+    split=lambda params: ({}, {"lut": K.gamma_lut(float(params.get("value", 1.0)))}),
+)
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization (core/preprocessing.py:73-79)
+
+
+def _equalize_gray_np(gray: np.ndarray) -> np.ndarray:
+    hist = np.bincount(gray.ravel(), minlength=256)
+    return K.equalize_lut(hist)[gray]
+
+
+def histeq_np(image: np.ndarray) -> np.ndarray:
+    if image.ndim == 2:
+        return _equalize_gray_np(image)
+    ycrcb = C.bgr_to_ycrcb_np(image)
+    ycrcb[..., 0] = _equalize_gray_np(ycrcb[..., 0])
+    return C.ycrcb_to_bgr_np(ycrcb)
+
+
+def _equalize_gray_j(gray):
+    import jax.numpy as jnp
+
+    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
+    total = gray.size
+    nonzero = hist > 0
+    first = jnp.argmax(nonzero)
+    cumsum = jnp.cumsum(hist)
+    remainder = total - hist[first]
+    safe_rem = jnp.maximum(remainder, 1)
+    scale = jnp.float32(255.0) / safe_rem.astype(jnp.float32)
+    lut_f = (cumsum - cumsum[first]).astype(jnp.float32) * scale
+    lut = jnp.clip(jnp.rint(lut_f), 0, 255).astype(jnp.uint8)
+    idx = jnp.arange(256)
+    lut = jnp.where(idx <= first, jnp.uint8(0), lut)
+    # constant image: cv2 leaves it untouched (identity LUT)
+    lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
+    return lut[gray]
+
+
+def histeq_j(img, dyn):
+    import jax.numpy as jnp
+
+    if img.ndim == 2:
+        return _equalize_gray_j(img)
+    ycrcb = C.bgr_to_ycrcb_j(img)
+    y = _equalize_gray_j(ycrcb[..., 0])
+    ycrcb = ycrcb.at[..., 0].set(y)
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
+def _equalize_gray_sharded_j(gray, axis: str):
+    """Histogram equalization over a spatially sharded frame: local
+    histogram + psum over the mesh axis, identical LUT math."""
+
+    import jax
+    import jax.numpy as jnp
+
+    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
+    hist = jax.lax.psum(hist, axis)
+    total = jnp.sum(hist)
+    nonzero = hist > 0
+    first = jnp.argmax(nonzero)
+    cumsum = jnp.cumsum(hist)
+    remainder = total - hist[first]
+    safe_rem = jnp.maximum(remainder, 1)
+    scale = jnp.float32(255.0) / safe_rem.astype(jnp.float32)
+    lut_f = (cumsum - cumsum[first]).astype(jnp.float32) * scale
+    lut = jnp.clip(jnp.rint(lut_f), 0, 255).astype(jnp.uint8)
+    idx = jnp.arange(256)
+    lut = jnp.where(idx <= first, jnp.uint8(0), lut)
+    lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
+    return lut[gray]
+
+
+def histeq_sharded_j(img, dyn, *, axis: str):
+    if img.ndim == 2:
+        return _equalize_gray_sharded_j(img, axis)
+    ycrcb = C.bgr_to_ycrcb_j(img)
+    y = _equalize_gray_sharded_j(ycrcb[..., 0], axis)
+    ycrcb = ycrcb.at[..., 0].set(y)
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
+register_op(
+    "preprocessing.histogram_equalization",
+    golden_fn=histeq_np,
+    device_fn=histeq_j,
+    split=lambda params: ({}, {}),
+    global_stats=True,
+    sharded_device_fn=histeq_sharded_j,
+)
+
+
+# ---------------------------------------------------------------------------
+# Intensity normalization (core/preprocessing.py:93-95: cv2 NORM_MINMAX)
+
+
+def normalize_np(image: np.ndarray, alpha: float = 0.0, beta: float = 255.0):
+    smin = np.float32(image.min())
+    smax = np.float32(image.max())
+    lo = np.float32(min(alpha, beta))
+    hi = np.float32(max(alpha, beta))
+    span = smax - smin
+    scale = (hi - lo) / span if span > 0 else np.float32(0.0)
+    shift = lo - smin * scale
+    out = image.astype(np.float32) * scale + shift
+    if image.dtype == np.uint8:
+        return F.to_uint8_np(out)
+    return out.astype(image.dtype)
+
+
+def normalize_j(img, dyn):
+    import jax.numpy as jnp
+
+    smin = jnp.min(img).astype(jnp.float32)
+    smax = jnp.max(img).astype(jnp.float32)
+    lo = jnp.minimum(dyn["alpha"], dyn["beta"])
+    hi = jnp.maximum(dyn["alpha"], dyn["beta"])
+    span = smax - smin
+    scale = jnp.where(span > 0, (hi - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    shift = lo - smin * scale
+    out = img.astype(jnp.float32) * scale + shift
+    if img.dtype == jnp.uint8:
+        return F.to_uint8_j(out)
+    return out.astype(img.dtype)
+
+
+def normalize_sharded_j(img, dyn, *, axis: str):
+    import jax
+    import jax.numpy as jnp
+
+    smin = jax.lax.pmin(jnp.min(img).astype(jnp.float32), axis)
+    smax = jax.lax.pmax(jnp.max(img).astype(jnp.float32), axis)
+    lo = jnp.minimum(dyn["alpha"], dyn["beta"])
+    hi = jnp.maximum(dyn["alpha"], dyn["beta"])
+    span = smax - smin
+    scale = jnp.where(span > 0, (hi - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    shift = lo - smin * scale
+    out = img.astype(jnp.float32) * scale + shift
+    if img.dtype == np.uint8:
+        return F.to_uint8_j(out)
+    return out.astype(img.dtype)
+
+
+register_op(
+    "preprocessing.normalize",
+    golden_fn=normalize_np,
+    device_fn=normalize_j,
+    sharded_device_fn=normalize_sharded_j,
+    split=lambda params: (
+        {},
+        {
+            "alpha": np.float32(params.get("alpha", 0.0)),
+            "beta": np.float32(params.get("beta", 255.0)),
+        },
+    ),
+    global_stats=True,
+)
+
+
+# ---------------------------------------------------------------------------
+# Noise reduction (core/preprocessing.py:81-91)
+
+
+def _odd(ksize: int) -> int:
+    ksize = int(ksize)
+    return ksize + 1 if ksize % 2 == 0 else ksize
+
+
+def noise_reduction_np(image: np.ndarray, method: str = "Gaussian", ksize: int = 5):
+    ksize = _odd(ksize)
+    if method == "Gaussian":
+        taps = K.gaussian_taps(ksize, 0.0)
+        out = F.sep_filter_np(image, taps, taps)
+        return F.to_uint8_np(out) if image.dtype == np.uint8 else out
+    if method == "Median":
+        return F.median_np(image, ksize)
+    if method == "Bilateral":
+        out = F.bilateral_np(image, ksize, 75.0, 75.0)
+        return F.to_uint8_np(out) if image.dtype == np.uint8 else out
+    return image
+
+
+def noise_reduction_j(img, dyn, *, method: str = "Gaussian", ksize: int = 5):
+    if method == "Gaussian":
+        out = F.sep_filter_j(img, dyn["taps"], dyn["taps"])
+        return F.to_uint8_j(out) if img.dtype == np.uint8 else out
+    if method == "Median":
+        return F.median_j(img, ksize)
+    if method == "Bilateral":
+        out = F.bilateral_j(
+            img,
+            dyn["space_w"],
+            dyn["color_lut"],
+            offsets=dyn_offsets_for(ksize),
+            ksize=ksize,
+        )
+        return F.to_uint8_j(out) if img.dtype == np.uint8 else out
+    return img
+
+
+def dyn_offsets_for(ksize: int):
+    """Static (dy, dx) offsets of cv2's circular bilateral window."""
+
+    _, mask = K.bilateral_space_weights(ksize, 75.0)
+    return tuple(map(tuple, np.argwhere(mask)))
+
+
+def _noise_split(params: Mapping[str, Any]):
+    method = str(params.get("method", "Gaussian"))
+    ksize = _odd(int(params.get("ksize", 5)))
+    static = {"method": method, "ksize": ksize}
+    dyn: Dict[str, Any] = {}
+    if method == "Gaussian":
+        dyn["taps"] = K.gaussian_taps(ksize, 0.0).astype(np.float32)
+    elif method == "Bilateral":
+        space_w, mask = K.bilateral_space_weights(ksize, 75.0)
+        dyn["space_w"] = space_w[mask].astype(np.float32)
+        # channel count is resolved at trace time; ship the 3-channel LUT
+        # (a 2-D image only indexes its first 256 entries).
+        dyn["color_lut"] = K.bilateral_color_weights(75.0, 3).astype(np.float32)
+    return static, dyn
+
+
+register_op(
+    "preprocessing.noise_reduction",
+    golden_fn=noise_reduction_np,
+    device_fn=noise_reduction_j,
+    split=_noise_split,
+    halo=lambda params: max(_odd(int(params.get("ksize", 5))) // 2, 1),
+)
+
+
+# ---------------------------------------------------------------------------
+# Sharpen / unsharp mask (core/preprocessing.py:97-100)
+
+_SHARPEN_SIGMA = 3.0
+_SHARPEN_KSIZE = K.gaussian_ksize_for_sigma(_SHARPEN_SIGMA)  # 19 for uint8
+
+
+def sharpen_np(image: np.ndarray, strength: float = 1.0) -> np.ndarray:
+    taps = K.gaussian_taps(_SHARPEN_KSIZE, _SHARPEN_SIGMA)
+    blurred = F.sep_filter_np(image, taps, taps)
+    if image.dtype == np.uint8:
+        blurred = F.to_uint8_np(blurred)
+    s = np.float32(strength)
+    out = image.astype(np.float32) * (1 + s) - blurred.astype(np.float32) * s
+    return F.to_uint8_np(out) if image.dtype == np.uint8 else out
+
+
+def sharpen_j(img, dyn):
+    import jax.numpy as jnp
+
+    blurred = F.sep_filter_j(img, dyn["taps"], dyn["taps"])
+    if img.dtype == np.uint8:
+        blurred = F.to_uint8_j(blurred)
+    s = dyn["strength"]
+    out = img.astype(jnp.float32) * (1 + s) - blurred.astype(jnp.float32) * s
+    return F.to_uint8_j(out) if img.dtype == np.uint8 else out
+
+
+register_op(
+    "preprocessing.sharpen",
+    golden_fn=sharpen_np,
+    device_fn=sharpen_j,
+    split=lambda params: (
+        {},
+        {
+            "strength": np.float32(params.get("strength", 1.0)),
+            "taps": K.gaussian_taps(_SHARPEN_KSIZE, _SHARPEN_SIGMA).astype(np.float32),
+        },
+    ),
+    halo=_SHARPEN_KSIZE // 2,
+)
+
+
+# ---------------------------------------------------------------------------
+# Channel selection / mixing (core/preprocessing.py:102-121)
+
+
+def select_channel_np(image: np.ndarray, value: str = "All") -> np.ndarray:
+    if image.ndim == 2:
+        image = C.gray_to_bgr_np(image)
+    if value == "All":
+        return image
+    b, g, r = image[..., 0], image[..., 1], image[..., 2]
+    if value == "R":
+        return r.copy()
+    if value == "G":
+        return g.copy()
+    if value == "B":
+        return b.copy()
+    pairs = {"RG": (r, g), "GB": (g, b), "BR": (b, r)}
+    if value in pairs:
+        a, b2 = pairs[value]
+        # np.uint8(...) truncation, matching core/preprocessing.py:116-120
+        return ((a.astype(np.float32) + b2.astype(np.float32)) / 2).astype(np.uint8)
+    return image
+
+
+def select_channel_j(img, dyn, *, value: str = "All"):
+    import jax.numpy as jnp
+
+    if img.ndim == 2:
+        img = C.gray_to_bgr_j(img)
+    if value == "All":
+        return img
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    if value == "R":
+        return r
+    if value == "G":
+        return g
+    if value == "B":
+        return b
+    pairs = {"RG": (r, g), "GB": (g, b), "BR": (b, r)}
+    if value in pairs:
+        a, b2 = pairs[value]
+        return ((a.astype(jnp.float32) + b2.astype(jnp.float32)) / 2).astype(jnp.uint8)
+    return img
+
+
+register_op(
+    "preprocessing.select_channel",
+    golden_fn=select_channel_np,
+    device_fn=select_channel_j,
+    split=lambda params: ({"value": str(params.get("value", "All"))}, {}),
+)
+
+
+# ---------------------------------------------------------------------------
+# Crop (core/preprocessing.py:123-151; modules/preprocessing.py:226-252)
+
+
+def crop_np(
+    image: np.ndarray,
+    x_offset: int = 0,
+    y_offset: int = 0,
+    width: int = 100,
+    height: int = 100,
+    apply_crop: bool = True,
+) -> np.ndarray:
+    if not apply_crop:
+        from yamimageprocessor_tpu.utils.annotate import crop_overlay
+
+        return crop_overlay(image, x_offset, y_offset, width, height)
+    return image[y_offset : y_offset + height, x_offset : x_offset + width].copy()
+
+
+def crop_j(
+    img,
+    dyn,
+    *,
+    x_offset: int = 0,
+    y_offset: int = 0,
+    width: int = 100,
+    height: int = 100,
+    apply_crop: bool = True,
+):
+    # static geometry: the result shape is resolved at trace time
+    return img[y_offset : y_offset + height, x_offset : x_offset + width]
+
+
+def _crop_split(params: Mapping[str, Any]):
+    return (
+        {
+            "x_offset": int(params.get("x_offset", 0)),
+            "y_offset": int(params.get("y_offset", 0)),
+            "width": int(params.get("width", 100)),
+            "height": int(params.get("height", 100)),
+            "apply_crop": bool(params.get("apply_crop", True)),
+        },
+        {},
+    )
+
+
+register_op(
+    "preprocessing.crop",
+    golden_fn=crop_np,
+    device_fn=crop_j,
+    split=_crop_split,
+    reshapes=True,
+)

@@ -127,10 +127,27 @@ class OpSchema:
     )
     #: True when the op emits tabular records in addition to an image.
     produces_data: bool = False
+    #: False for ops that exist as kernels but have no persisted settings
+    #: entry in the reference namespace (e.g. histogram equalization,
+    #: ``core/preprocessing.py:73-79`` — a kernel without a module).
+    persisted: bool = True
 
     @property
     def prefix(self) -> str:
         return STAGE_SETTINGS_PREFIX[self.stage]
+
+    @property
+    def step_name(self) -> str:
+        """The pipeline-step name used in cache signatures.
+
+        Preprocessing steps are named by module identifier
+        (``plugins/module_base.py:133-137`` uses ``metadata.identifier``;
+        identifiers from ``modules/preprocessing.py:46-220``); segmentation /
+        extraction steps are named by method
+        (``processing/segmentation_pipeline.py:183``).
+        """
+
+        return _REFERENCE_STEP_NAMES.get(self.identifier, self.method)
 
     @property
     def settings_enabled_key(self) -> str:
@@ -187,6 +204,29 @@ class OpSchema:
             raw = settings.get(f"{self.prefix}/{self.method}/{name}", spec.default)
             out[name] = spec.coerce(raw)
         return out
+
+
+#: reference module identifiers for preprocessing steps; other stages use
+#: the method name directly.
+_REFERENCE_STEP_NAMES: Dict[str, str] = {
+    "preprocessing.grayscale": "Grayscale",
+    "preprocessing.brightness_contrast": "BrightnessContrast",
+    "preprocessing.gamma": "Gamma",
+    "preprocessing.normalize": "IntensityNormalization",
+    "preprocessing.noise_reduction": "NoiseReduction",
+    "preprocessing.sharpen": "Sharpen",
+    "preprocessing.select_channel": "SelectChannel",
+    "preprocessing.crop": "Crop",
+}
+
+
+def op_by_step_name(stage: Stage, name: str) -> Optional["OpSchema"]:
+    """Resolve an op from a pipeline-step name (inverse of ``step_name``)."""
+
+    for op in ALL_OPS:
+        if op.stage == stage and op.step_name == name:
+            return op
+    return None
 
 
 def _p_int(name, default, lo=None, hi=None, odd=False, desc="", step=None):
@@ -276,6 +316,14 @@ PREPROCESS_OPS: Tuple[OpSchema, ...] = (
         params=(
             _p_choice("value", "All", ("All", "R", "G", "B", "RG", "GB", "BR")),
         ),
+    ),
+    OpSchema(
+        identifier="preprocessing.histogram_equalization",
+        method="histogram_equalization",
+        stage=Stage.PREPROCESSING,
+        title="Histogram Equalization",
+        description="Global histogram equalization (Y channel for color).",
+        persisted=False,
     ),
     OpSchema(
         identifier="preprocessing.crop",
@@ -652,7 +700,8 @@ def settings_defaults() -> Dict[str, Any]:
         "extraction/order": "",
     }
     for op in ALL_OPS:
-        defaults.update(op.settings_keys())
+        if op.persisted:
+            defaults.update(op.settings_keys())
     return defaults
 
 

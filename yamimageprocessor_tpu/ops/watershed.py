@@ -1,0 +1,198 @@
+"""Marker-based watershed flooding (cv2.watershed capability).
+
+Reference: ``core/segmentation.py:96-114`` builds markers (Otsu-inv -> open
+-> dilate sure-bg -> distance transform -> threshold sure-fg ->
+connectedComponents) and calls ``cv2.watershed``, painting boundary pixels
+red.
+
+cv2 floods with a per-level FIFO priority queue; the queue order makes its
+boundary placement depend on raster order at ties.  The TPU-native design
+replaces the queue with LEVEL-SYNCHRONOUS flooding, a deterministic parallel
+fixed-point iteration:
+
+  for level L in 0..255:
+      repeat until stable:
+          every unlabeled pixel whose cheapest labeled 4-neighbor edge
+          (edge cost = max-channel abs diff, cv2's c_diff) costs <= L takes
+          that neighborhood's label — or becomes a boundary (-1) when its
+          labeled neighbors disagree.
+
+Both paths implement the identical rule, so CPU and TPU masks are
+bit-identical; placement can differ from cv2 by one pixel at flood-order
+ties (measured agreement is asserted in tests).  Image borders start as
+boundary, matching cv2's initialization.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_WSHED = -1
+
+
+def _edge_costs_np(image: np.ndarray):
+    """4-neighbor edge costs: max over channels of abs difference."""
+
+    img = image.astype(np.int16)
+    if img.ndim == 2:
+        img = img[..., None]
+    dy = np.abs(img[1:, :] - img[:-1, :]).max(axis=-1).astype(np.int32)
+    dx = np.abs(img[:, 1:] - img[:, :-1]).max(axis=-1).astype(np.int32)
+    return dy, dx  # (H-1, W), (H, W-1)
+
+
+def watershed_np(image: np.ndarray, markers: np.ndarray) -> np.ndarray:
+    h, w = markers.shape
+    lab = markers.astype(np.int32).copy()
+    lab[0, :] = lab[-1, :] = _WSHED
+    lab[:, 0] = lab[:, -1] = _WSHED
+    dyc, dxc = _edge_costs_np(image)
+    big = np.int32(1 << 30)
+
+    for level in range(256):
+        while True:
+            unknown = lab == 0
+            if not unknown.any():
+                return lab
+            # per-direction: neighbor label and edge cost
+            nb_labs = []
+            nb_costs = []
+            # up
+            l_up = np.full((h, w), 0, np.int32)
+            c_up = np.full((h, w), big, np.int32)
+            l_up[1:] = lab[:-1]
+            c_up[1:] = dyc
+            nb_labs.append(l_up)
+            nb_costs.append(c_up)
+            # down
+            l_dn = np.zeros((h, w), np.int32)
+            c_dn = np.full((h, w), big, np.int32)
+            l_dn[:-1] = lab[1:]
+            c_dn[:-1] = dyc
+            nb_labs.append(l_dn)
+            nb_costs.append(c_dn)
+            # left
+            l_lf = np.zeros((h, w), np.int32)
+            c_lf = np.full((h, w), big, np.int32)
+            l_lf[:, 1:] = lab[:, :-1]
+            c_lf[:, 1:] = dxc
+            nb_labs.append(l_lf)
+            nb_costs.append(c_lf)
+            # right
+            l_rt = np.zeros((h, w), np.int32)
+            c_rt = np.full((h, w), big, np.int32)
+            l_rt[:, :-1] = lab[:, 1:]
+            c_rt[:, :-1] = dxc
+            nb_labs.append(l_rt)
+            nb_costs.append(c_rt)
+
+            positive = [nl > 0 for nl in nb_labs]
+            # trigger: some positive-labeled neighbor with cost <= level
+            trig = np.zeros((h, w), bool)
+            for pos, cost in zip(positive, nb_costs):
+                trig |= pos & (cost <= level)
+            trig &= unknown
+            if not trig.any():
+                break
+            # conflict detection among ALL positive-labeled neighbors
+            chosen = np.zeros((h, w), np.int32)
+            conflict = np.zeros((h, w), bool)
+            for pos, nl in zip(positive, nb_labs):
+                newly = pos & (chosen == 0)
+                conflict |= pos & (chosen > 0) & (nl != chosen)
+                chosen = np.where(newly, nl, chosen)
+            new_val = np.where(conflict, np.int32(_WSHED), chosen)
+            lab = np.where(trig, new_val, lab)
+    return lab
+
+
+def watershed_j(image, markers):
+    import jax
+    import jax.numpy as jnp
+
+    h, w = markers.shape
+    img = image.astype(jnp.int16)
+    if img.ndim == 2:
+        img = img[..., None]
+    dyc = jnp.abs(img[1:, :] - img[:-1, :]).max(axis=-1).astype(jnp.int32)
+    dxc = jnp.abs(img[:, 1:] - img[:, :-1]).max(axis=-1).astype(jnp.int32)
+    big = jnp.int32(1 << 30)
+
+    lab0 = markers.astype(jnp.int32)
+    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    lab0 = jnp.where(border, _WSHED, lab0)
+
+    zeros = jnp.zeros((h, w), jnp.int32)
+    bigs = jnp.full((h, w), big, jnp.int32)
+
+    def neighbors(lab):
+        l_up = zeros.at[1:, :].set(lab[:-1])
+        c_up = bigs.at[1:, :].set(dyc)
+        l_dn = zeros.at[:-1, :].set(lab[1:])
+        c_dn = bigs.at[:-1, :].set(dyc)
+        l_lf = zeros.at[:, 1:].set(lab[:, :-1])
+        c_lf = bigs.at[:, 1:].set(dxc)
+        l_rt = zeros.at[:, :-1].set(lab[:, 1:])
+        c_rt = bigs.at[:, :-1].set(dxc)
+        return (l_up, l_dn, l_lf, l_rt), (c_up, c_dn, c_lf, c_rt)
+
+    def sweep(lab, level):
+        (labs, costs) = neighbors(lab)
+        unknown = lab == 0
+        trig = jnp.zeros((h, w), bool)
+        for nl, cost in zip(labs, costs):
+            trig = trig | ((nl > 0) & (cost <= level))
+        trig = trig & unknown
+        chosen = jnp.zeros((h, w), jnp.int32)
+        conflict = jnp.zeros((h, w), bool)
+        for nl in labs:
+            pos = nl > 0
+            newly = pos & (chosen == 0)
+            conflict = conflict | (pos & (chosen > 0) & (nl != chosen))
+            chosen = jnp.where(newly, nl, chosen)
+        new_val = jnp.where(conflict, jnp.int32(_WSHED), chosen)
+        return jnp.where(trig, new_val, lab), jnp.any(trig)
+
+    def level_body(level, lab):
+        def cond(state):
+            _, changed = state
+            return changed
+
+        def body(state):
+            cur, _ = state
+            return sweep(cur, level)
+
+        lab, _ = jax.lax.while_loop(cond, body, sweep(lab, level))
+        return lab
+
+    return jax.lax.fori_loop(0, 256, level_body, lab0)
+
+
+def paint_boundaries_np(image: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Annotate watershed lines in red (core/segmentation.py:112-114)."""
+
+    out = image.copy()
+    mask = labels == _WSHED
+    if out.ndim == 2:
+        out[mask] = 0
+    else:
+        out[mask] = np.array([0, 0, 255], dtype=out.dtype)
+    return out
+
+
+def paint_boundaries_j(image, labels):
+    import jax.numpy as jnp
+
+    mask = labels == _WSHED
+    if image.ndim == 2:
+        return jnp.where(mask, jnp.uint8(0), image)
+    red = jnp.array([0, 0, 255], dtype=image.dtype)
+    return jnp.where(mask[..., None], red, image)
+
+
+__all__ = [
+    "watershed_np",
+    "watershed_j",
+    "paint_boundaries_np",
+    "paint_boundaries_j",
+]
