@@ -30,17 +30,33 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch, side, side), dtype=np.uint8)
 
-    fn = jax.jit(flagship_forward)
-    device_frames = jax.device_put(frames)
-    out = fn(device_frames)
-    out.block_until_ready()  # compile + warm
+    # Iterations run INSIDE one executable (lax.fori_loop with a data
+    # dependency) and only a scalar checksum leaves the device: this defeats
+    # both async-dispatch elision and host<->device transfer skew (the axon
+    # relay in this environment reports block_until_ready before execution
+    # finishes, so naive timing loops measure nothing).
+    iters = 50 if backend != "cpu" else 3
 
-    iters = 20 if backend != "cpu" else 3
+    def looped(x):
+        def body(_, v):
+            return flagship_forward(v)
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return jnp_sum_u64(out)
+
+    import jax.numpy as jnp
+
+    def jnp_sum_u64(v):
+        return jnp.sum(v.astype(jnp.uint32))
+
+    fn = jax.jit(looped)
+    device_frames = jax.device_put(frames)
+    checksum = int(np.asarray(fn(device_frames)))  # compile + warm
+
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(device_frames)
-    out.block_until_ready()
+    checksum = int(np.asarray(fn(device_frames)))
     elapsed = time.perf_counter() - start
+    assert checksum >= 0
 
     mpix = batch * side * side / 1e6
     value = mpix * steps * iters / elapsed

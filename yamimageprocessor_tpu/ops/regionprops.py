@@ -1,0 +1,297 @@
+"""Per-region measurements over labeled masks (skimage.regionprops family).
+
+Reference usage: ``core/extraction.py:57-87`` (area, perimeter, centroid,
+eccentricity, solidity, extent, orientation per region).  skimage is not a
+dependency — the formulas are re-implemented:
+
+* area / centroid / bbox / central moments — label-indexed segment sums
+  (``jax.ops.segment_sum`` on device; ``np.add.at`` golden twin), the
+  TPU-native replacement for per-region python loops;
+* orientation / eccentricity — inertia-tensor eigenvalues from central
+  moments (skimage's definitions: orientation in (-pi/2, pi/2] measured
+  against the row axis; eccentricity sqrt(1 - l2/l1));
+* perimeter — skimage's weighted border-pixel categories (weights 1,
+  sqrt(2), (1+sqrt(2))/2 over a [[10,2],[4,1]] category convolution);
+* solidity — area / convex area, the hull rasterized on the host per
+  region (a host finalization, as in the reference).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_SQRT2 = float(np.sqrt(2.0))
+_PERIMETER_WEIGHTS = np.zeros(50, dtype=np.float64)
+_PERIMETER_WEIGHTS[[5, 7, 15, 17, 25, 27]] = 1.0
+_PERIMETER_WEIGHTS[[21, 33]] = _SQRT2
+_PERIMETER_WEIGHTS[[13, 23]] = (1.0 + _SQRT2) / 2.0
+
+
+@dataclass
+class RegionMeasurements:
+    """Vectorized per-region metrics (index 0 = background, unused)."""
+
+    count: int
+    area: np.ndarray
+    centroid_r: np.ndarray
+    centroid_c: np.ndarray
+    bbox: np.ndarray  # (n+1, 4): minr, minc, maxr(+1), maxc(+1)
+    mu20: np.ndarray
+    mu02: np.ndarray
+    mu11: np.ndarray
+    perimeter: np.ndarray
+
+    def extent(self) -> np.ndarray:
+        heights = np.maximum(self.bbox[:, 2] - self.bbox[:, 0], 1)
+        widths = np.maximum(self.bbox[:, 3] - self.bbox[:, 1], 1)
+        return self.area / (heights * widths)
+
+    def orientation(self) -> np.ndarray:
+        a = self.mu20 / np.maximum(self.area, 1)
+        b = self.mu11 / np.maximum(self.area, 1)
+        c = self.mu02 / np.maximum(self.area, 1)
+        # skimage: angle of the major inertia axis vs the row axis
+        with np.errstate(invalid="ignore"):
+            out = np.where(
+                a - c == 0,
+                np.where(b < 0, -np.pi / 4.0, np.pi / 4.0),
+                0.5 * np.arctan2(-2.0 * b, c - a),
+            )
+        return out
+
+    def eccentricity(self) -> np.ndarray:
+        a = self.mu20 / np.maximum(self.area, 1)
+        b = self.mu11 / np.maximum(self.area, 1)
+        c = self.mu02 / np.maximum(self.area, 1)
+        common = np.sqrt(np.maximum((a - c) ** 2 + 4 * b * b, 0.0))
+        l1 = (a + c + common) / 2.0
+        l2 = (a + c - common) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ecc = np.sqrt(np.maximum(1.0 - l2 / np.maximum(l1, 1e-12), 0.0))
+        return np.where(self.area > 0, ecc, 0.0)
+
+
+def measure_np(labels: np.ndarray) -> RegionMeasurements:
+    """Golden path: all metrics via vectorized scatter sums."""
+
+    labels = np.asarray(labels, dtype=np.int64)
+    n = int(labels.max())
+    h, w = labels.shape
+    rr, cc = np.mgrid[:h, :w]
+    flat = labels.ravel()
+
+    area = np.bincount(flat, minlength=n + 1).astype(np.float64)
+    sum_r = np.bincount(flat, weights=rr.ravel(), minlength=n + 1)
+    sum_c = np.bincount(flat, weights=cc.ravel(), minlength=n + 1)
+    safe = np.maximum(area, 1)
+    cen_r = sum_r / safe
+    cen_c = sum_c / safe
+
+    dr = rr.ravel() - cen_r[flat]
+    dc = cc.ravel() - cen_c[flat]
+    mu20 = np.bincount(flat, weights=dr * dr, minlength=n + 1)
+    mu02 = np.bincount(flat, weights=dc * dc, minlength=n + 1)
+    mu11 = np.bincount(flat, weights=dr * dc, minlength=n + 1)
+
+    bbox = np.zeros((n + 1, 4), dtype=np.int64)
+    if n:
+        big = 1 << 30
+        minr = np.full(n + 1, big)
+        minc = np.full(n + 1, big)
+        maxr = np.full(n + 1, -1)
+        maxc = np.full(n + 1, -1)
+        np.minimum.at(minr, flat, rr.ravel())
+        np.minimum.at(minc, flat, cc.ravel())
+        np.maximum.at(maxr, flat, rr.ravel())
+        np.maximum.at(maxc, flat, cc.ravel())
+        bbox[:, 0] = np.where(minr == big, 0, minr)
+        bbox[:, 1] = np.where(minc == big, 0, minc)
+        bbox[:, 2] = maxr + 1
+        bbox[:, 3] = maxc + 1
+
+    perim = perimeters_np(labels, n)
+
+    return RegionMeasurements(
+        count=n,
+        area=area,
+        centroid_r=cen_r,
+        centroid_c=cen_c,
+        bbox=bbox,
+        mu20=mu20,
+        mu02=mu02,
+        mu11=mu11,
+        perimeter=perim,
+    )
+
+
+def perimeters_np(labels: np.ndarray, n: int) -> np.ndarray:
+    """skimage-style perimeter per region.
+
+    skimage.measure.perimeter convolves the border mask (pixels removed by
+    a 4-connected erosion) with [[10, 2, 10], [2, 1, 2], [10, 2, 10]] and
+    sums category weights.  Here the category counts only same-region border
+    neighbors, which equals running skimage per-region on isolated masks.
+    """
+
+    out = np.zeros(n + 1, dtype=np.float64)
+    h, w = labels.shape
+    padded = np.pad(labels, 1)
+
+    def same(dy: int, dx: int) -> np.ndarray:
+        return padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] == labels
+
+    interior = same(-1, 0) & same(1, 0) & same(0, -1) & same(0, 1) & (labels > 0)
+    border = (labels > 0) & ~interior
+
+    bpad = np.pad(border, 1)
+
+    def nb(dy: int, dx: int) -> np.ndarray:
+        return bpad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] & same(dy, dx)
+
+    orth = (
+        nb(-1, 0).astype(np.int64)
+        + nb(1, 0)
+        + nb(0, -1)
+        + nb(0, 1)
+    )
+    diag = (
+        nb(-1, -1).astype(np.int64)
+        + nb(-1, 1)
+        + nb(1, -1)
+        + nb(1, 1)
+    )
+    cat = np.where(border, 1 + 2 * orth + 10 * diag, 0)
+    weights = _PERIMETER_WEIGHTS[np.clip(cat, 0, 49)]
+    np.add.at(out, labels.ravel(), weights.ravel())
+    out[0] = 0.0
+    return out
+
+
+def measure_j(labels, max_regions: int):
+    """Device twin: segment sums with a static region capacity.
+
+    Returns a dict of (max_regions+1,) arrays; entries past the true count
+    are zero.  Perimeter/hull stay host-side finalizations.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    labels = labels.astype(jnp.int32)
+    h, w = labels.shape
+    rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).ravel()
+    cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).ravel()
+    flat = jnp.clip(labels.ravel(), 0, max_regions)
+    nseg = max_regions + 1
+
+    ones = jnp.ones_like(rr)
+    area = jax.ops.segment_sum(ones, flat, num_segments=nseg)
+    sum_r = jax.ops.segment_sum(rr, flat, num_segments=nseg)
+    sum_c = jax.ops.segment_sum(cc, flat, num_segments=nseg)
+    safe = jnp.maximum(area, 1.0)
+    cen_r = sum_r / safe
+    cen_c = sum_c / safe
+
+    dr = rr - cen_r[flat]
+    dc = cc - cen_c[flat]
+    mu20 = jax.ops.segment_sum(dr * dr, flat, num_segments=nseg)
+    mu02 = jax.ops.segment_sum(dc * dc, flat, num_segments=nseg)
+    mu11 = jax.ops.segment_sum(dr * dc, flat, num_segments=nseg)
+
+    big = jnp.float32(1 << 30)
+    minr = jax.ops.segment_min(rr, flat, num_segments=nseg)
+    minc = jax.ops.segment_min(cc, flat, num_segments=nseg)
+    maxr = jax.ops.segment_max(rr, flat, num_segments=nseg)
+    maxc = jax.ops.segment_max(cc, flat, num_segments=nseg)
+
+    return {
+        "area": area,
+        "centroid_r": cen_r,
+        "centroid_c": cen_c,
+        "min_r": jnp.where(area > 0, minr, 0.0),
+        "min_c": jnp.where(area > 0, minc, 0.0),
+        "max_r": jnp.where(area > 0, maxr, -1.0),
+        "max_c": jnp.where(area > 0, maxc, -1.0),
+        "mu20": mu20,
+        "mu02": mu02,
+        "mu11": mu11,
+    }
+
+
+# ---------------------------------------------------------------------------
+# convex hull (host finalization for solidity)
+def convex_hull_points(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; ``points`` (n, 2) as (r, c)."""
+
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: List[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: List[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_area(points: np.ndarray, shape: Tuple[int, int]) -> float:
+    """Pixel count of the filled convex hull (skimage's convex_area)."""
+
+    hull = convex_hull_points(points)
+    if len(hull) <= 2:
+        return float(len(np.unique(points, axis=0)))
+    minr = int(hull[:, 0].min())
+    maxr = int(hull[:, 0].max())
+    count = 0
+    # scan-line fill over hull edges (pixel centers inside or on the hull)
+    edges = list(zip(hull, np.roll(hull, -1, axis=0)))
+    for r in range(minr, maxr + 1):
+        xs: List[float] = []
+        for (r0, c0), (r1, c1) in edges:
+            if r0 == r1:
+                if r0 == r:
+                    xs.extend([c0, c1])
+                continue
+            t = (r - r0) / (r1 - r0)
+            if 0.0 <= t <= 1.0:
+                xs.append(c0 + t * (c1 - c0))
+        if not xs:
+            continue
+        lo = int(np.ceil(min(xs) - 1e-9))
+        hi = int(np.floor(max(xs) + 1e-9))
+        count += max(0, hi - lo + 1)
+    return float(count)
+
+
+def solidity_np(labels: np.ndarray, measurements: RegionMeasurements) -> np.ndarray:
+    out = np.zeros(measurements.count + 1, dtype=np.float64)
+    for region in range(1, measurements.count + 1):
+        points = np.argwhere(labels == region)
+        if len(points) == 0:
+            continue
+        hull_area = convex_area(points, labels.shape)
+        out[region] = measurements.area[region] / max(hull_area, 1.0)
+    return out
+
+
+__all__ = [
+    "RegionMeasurements",
+    "measure_np",
+    "measure_j",
+    "perimeters_np",
+    "convex_hull_points",
+    "convex_area",
+    "solidity_np",
+]

@@ -59,6 +59,9 @@ class OpImpl:
     #: computing its global statistics with collectives (psum/pmin/pmax)
     #: over spatially sharded blocks
     sharded_device_fn: Optional[Callable[..., Any]] = None
+    #: extraction twin producing tabular records (pandas DataFrame), the
+    #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
+    data_fn: Optional[Callable[..., Any]] = None
 
     @property
     def identifier(self) -> str:
