@@ -1,0 +1,129 @@
+"""UnifiedPipelineController: stage bounds, events, seeded runs,
+downstream invalidation (models tests/ui/test_unified_pipeline_controller.py)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.ops.schema import Stage
+from yamimageprocessor_tpu.pipeline.manager import PipelineManager
+from yamimageprocessor_tpu.pipeline.step import PipelineStep
+from yamimageprocessor_tpu.ui.controller import UnifiedPipelineController
+from yamimageprocessor_tpu.ui.pipeline_adapter import (
+    ControllerBackedPipeline,
+    coerce_pipeline_image,
+)
+
+
+def _add(image, amount=10):
+    return np.clip(image.astype(np.int32) + amount, 0, 255).astype(np.uint8)
+
+
+def _steps():
+    return [
+        PipelineStep(name="pre-a", function=_add, params={"amount": 1},
+                     stage=Stage.PREPROCESSING),
+        PipelineStep(name="pre-b", function=_add, params={"amount": 2},
+                     stage=Stage.PREPROCESSING),
+        PipelineStep(name="seg-a", function=_add, params={"amount": 4},
+                     stage=Stage.SEGMENTATION),
+        PipelineStep(name="ext-a", function=_add, params={"amount": 8},
+                     stage=Stage.ANALYSIS),
+    ]
+
+
+@pytest.fixture()
+def controller():
+    return UnifiedPipelineController(manager=PipelineManager(_steps()))
+
+
+@pytest.fixture()
+def probe(controller):
+    events = []
+    controller.add_listener(lambda ev, payload: events.append((ev, payload)))
+    return events
+
+
+def test_stage_bounds(controller):
+    assert controller.stage_bounds(Stage.PREPROCESSING) == (0, 2)
+    assert controller.stage_bounds(Stage.SEGMENTATION) == (2, 3)
+    assert controller.stage_bounds(Stage.ANALYSIS) == (3, 4)
+    assert [s.name for s in controller.stage_steps(Stage.PREPROCESSING)] == [
+        "pre-a",
+        "pre-b",
+    ]
+
+
+def test_dependencies_are_linear(controller):
+    assert controller.stage_dependencies(Stage.PREPROCESSING) == ()
+    assert controller.stage_dependencies(Stage.ANALYSIS) == (
+        Stage.PREPROCESSING,
+        Stage.SEGMENTATION,
+    )
+
+
+def test_run_enabled_stages(controller):
+    img = np.zeros((8, 8), np.uint8)
+    results = controller.run_enabled_stages(img)
+    assert results[Stage.PREPROCESSING].max() == 3
+    assert results[Stage.SEGMENTATION].max() == 7
+    assert results[Stage.ANALYSIS].max() == 15
+    cached = controller.cached_stage_result(Stage.SEGMENTATION)
+    assert (cached == results[Stage.SEGMENTATION]).all()
+
+
+def test_seeded_run_skips_upstream(controller):
+    img = np.zeros((8, 8), np.uint8)
+    seed = np.full((8, 8), 100, np.uint8)
+    results = controller.run_enabled_stages(img, {Stage.PREPROCESSING: seed})
+    assert results[Stage.PREPROCESSING].max() == 100
+    assert results[Stage.SEGMENTATION].max() == 104
+
+
+def test_insert_remove_fire_events(controller, probe):
+    step = PipelineStep(name="seg-b", function=_add, params={"amount": 16})
+    controller.insert_stage_step(Stage.SEGMENTATION, 1, step)
+    assert controller.stage_bounds(Stage.SEGMENTATION) == (2, 4)
+    removed = controller.remove_stage_step(Stage.SEGMENTATION, 1)
+    assert removed.name == "seg-b"
+    names = [ev for ev, _ in probe]
+    assert "stage_steps_inserted" in names and "stage_steps_removed" in names
+
+
+def test_downstream_invalidation(controller, probe):
+    img = np.zeros((8, 8), np.uint8)
+    controller.run_enabled_stages(img)
+    probe.clear()
+    controller.update_stage_step(Stage.SEGMENTATION, 0, params={"amount": 5})
+    assert controller.cached_stage_result(Stage.SEGMENTATION) is None
+    assert controller.cached_stage_result(Stage.ANALYSIS) is None
+    # preprocessing result untouched
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is not None
+
+
+def test_replace_stage_steps(controller):
+    new = [PipelineStep(name="seg-x", function=_add, params={"amount": 32})]
+    controller.replace_stage_steps(Stage.SEGMENTATION, new)
+    assert [s.name for s in controller.stage_steps(Stage.SEGMENTATION)] == ["seg-x"]
+    assert controller.stage_bounds(Stage.ANALYSIS) == (3, 4)
+
+
+def test_controller_backed_pipeline(controller):
+    img = np.zeros((8, 8), np.uint8)
+    adapter = ControllerBackedPipeline(
+        controller,
+        Stage.SEGMENTATION,
+        source_resolver=lambda: img,
+    )
+    out = adapter.apply(None)
+    assert out.max() == 7
+    assert [s.name for s in adapter.steps] == ["seg-a"]
+
+
+def test_coerce_pipeline_image():
+    class Lazy:
+        def to_array(self):
+            return np.ones((2, 2))
+
+    assert coerce_pipeline_image(None) is None
+    assert (coerce_pipeline_image(Lazy()) == 1).all()
