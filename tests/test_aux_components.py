@@ -1,0 +1,188 @@
+"""Aux subsystems: history spill, failure isolation, diagnostics hub,
+preview pyramid, i18n, error reporter, control metadata, tracing."""
+from __future__ import annotations
+
+import logging
+import threading
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.core.i18n import TranslationLoader, normalize_locale
+from yamimageprocessor_tpu.core.threading import ThreadController
+from yamimageprocessor_tpu.pipeline.errors import PipelineExecutionError
+from yamimageprocessor_tpu.pipeline.history import (
+    CachedArray,
+    PipelineHistoryEntry,
+)
+from yamimageprocessor_tpu.pipeline.manager import PipelineManager
+from yamimageprocessor_tpu.pipeline.step import PipelineStep
+from yamimageprocessor_tpu.services.diagnostics import DiagnosticsHub
+from yamimageprocessor_tpu.services.tracing import PipelineTrace
+from yamimageprocessor_tpu.ui.control_metadata import (
+    MODULE_CONTROL_METADATA,
+    get_module_control_metadata,
+    tooltip_text,
+)
+from yamimageprocessor_tpu.ui.error_reporter import (
+    ErrorReport,
+    ErrorResolution,
+    present_error_report,
+)
+from yamimageprocessor_tpu.ui.preview import PreviewRecord, extract_slice
+
+
+# ---------------------------------------------------------------------------
+def test_cached_array_memory_and_spill(tmp_path):
+    small = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    cached = CachedArray(small, spill_dir=tmp_path)
+    assert cached.in_memory
+    assert (cached.load() == small).all()
+
+    big = np.zeros((600, 600, 3), np.uint8)  # > 1 MiB
+    spilled = CachedArray(big, spill_dir=tmp_path)
+    assert not spilled.in_memory
+    assert list(tmp_path.glob("cached-*.npy"))
+    assert spilled.load().shape == big.shape
+    spilled.release()
+    assert not list(tmp_path.glob("cached-*.npy"))
+
+
+def test_cached_array_payload_roundtrip():
+    arr = np.arange(12, dtype=np.int32).reshape(3, 4)
+    payload = CachedArray(arr).to_payload()
+    restored = CachedArray.from_payload(payload)
+    assert (restored.load() == arr).all()
+
+
+def test_history_entry_replay(tmp_path):
+    steps = [PipelineStep(name="a", function=lambda im: im + 1)]
+    outputs = [np.full((4, 4), 7, np.uint8)]
+    entry = PipelineHistoryEntry.capture(steps, outputs, spill_dir=tmp_path)
+    assert (entry.replay_from_cache() == 7).all()
+    assert (entry.replay_from_cache(0) == 7).all()
+    assert entry.replay_from_cache(5) is None
+
+
+# ---------------------------------------------------------------------------
+def test_failure_isolation(tmp_path):
+    def boom(image):
+        raise ValueError("kaput")
+
+    manager = PipelineManager(
+        [
+            PipelineStep(name="ok", function=lambda im: im + 1),
+            PipelineStep(name="bad", function=boom),
+        ],
+        recovery_root=tmp_path,
+        isolate_failures=True,
+        prefer_device=False,
+    )
+    events = []
+    manager.add_change_listener(lambda ev, meta: events.append(ev))
+    with pytest.raises(PipelineExecutionError) as excinfo:
+        manager.apply_host(np.zeros((4, 4), np.int32))
+    failure = excinfo.value.failure
+    assert failure.step_name == "bad"
+    assert not manager.get_step("bad").enabled  # disabled on failure
+    tracebacks = list(tmp_path.glob("failure-*/traceback.txt"))
+    assert len(tracebacks) == 1
+    assert "kaput" in tracebacks[0].read_text()
+    assert "step_failed" in events
+
+
+# ---------------------------------------------------------------------------
+def test_diagnostics_hub_logs_and_tasks():
+    hub = DiagnosticsHub(capacity=5)
+    logger = logging.getLogger("yam.test.diag")
+    logger.setLevel(logging.INFO)
+    hub.attach_logger(logger)
+    for i in range(8):
+        logger.info("line %d", i)
+    lines = hub.log_lines()
+    assert len(lines) == 5  # bounded
+    assert lines[-1].endswith("line 7")
+    hub.detach_logger()
+
+    controller = ThreadController(max_workers=1)
+    hub.attach_controller(controller)
+    task = controller.submit(lambda: 1, name="t1")
+    task.future.result(timeout=5)
+    rows = hub.task_rows()
+    assert rows and rows[0].name == "t1" and rows[0].status == "finished"
+    controller.shutdown()
+
+
+# ---------------------------------------------------------------------------
+def test_preview_pyramid():
+    img = np.random.default_rng(0).integers(0, 255, (1200, 1600, 3), np.uint8)
+    record = PreviewRecord.build(img)
+    assert record.levels[0].scale == 1
+    assert max(record.thumbnail.shape[:2]) <= 512
+    level = record.best_for(600)
+    assert max(level.image.shape[:2]) >= 600
+    stack = np.zeros((5, 8, 8))
+    stack[3] = 9
+    assert (extract_slice(stack, 0, 3) == 9).all()
+
+
+# ---------------------------------------------------------------------------
+def test_i18n_loads_spanish():
+    assert normalize_locale("es-ES.UTF-8") == "es_ES"
+    loader = TranslationLoader()
+    assert loader.install("es_ES")
+    assert loader("Grayscale") == "Escala de grises"
+    assert loader("Untranslated phrase") == "Untranslated phrase"
+    loader.remove()
+    assert loader("Grayscale") == "Grayscale"
+
+
+def test_i18n_missing_locale():
+    loader = TranslationLoader()
+    assert loader.install("zz_ZZ") is False
+
+
+# ---------------------------------------------------------------------------
+def test_error_reporter(tmp_path):
+    from yamimageprocessor_tpu.core import path_sanitizer as ps
+
+    ps.configure_allowed_roots([tmp_path])
+    try:
+        raise ValueError("boom")
+    except ValueError as exc:
+        report = ErrorReport.from_exception(
+            exc, metadata={"path": tmp_path / "secret" / "img.png", "n": 3}
+        )
+    assert report.message == "boom"
+    assert report.metadata["path"].startswith("[root]")
+    assert "ValueError" in report.traceback_text
+    assert "boom" in report.clipboard_text()
+
+    resolution = present_error_report(
+        report, presenter=lambda r: ErrorResolution.RETRY, has_autosave=True
+    )
+    assert resolution is ErrorResolution.RETRY
+    assert any(a.resolution is ErrorResolution.DISCARD_AUTOSAVE for a in report.actions)
+    ps.configure_allowed_roots([Path.cwd()])
+
+
+# ---------------------------------------------------------------------------
+def test_control_metadata_registry():
+    meta = get_module_control_metadata("NoiseReduction")
+    assert set(meta) == {"method", "ksize"}
+    assert meta["ksize"].coerce(4) == 5
+    tip = tooltip_text("BrightnessContrast", "alpha")
+    assert "default" in tip
+    assert "Global" in MODULE_CONTROL_METADATA  # segmentation methods too
+
+
+def test_pipeline_trace():
+    trace = PipelineTrace()
+    with trace.stage("preprocess"):
+        pass
+    with trace.stage("segment"):
+        pass
+    summary = trace.summary()
+    assert set(summary) == {"preprocess", "segment"}
+    assert trace.total() >= 0

@@ -82,7 +82,9 @@ class PipelineManager:
         recovery_root: Optional[os.PathLike[str] | str] = None,
         gpu_executor: Optional[AcceleratorExecutor] = None,
         prefer_device: bool = True,
+        isolate_failures: bool = False,
     ) -> None:
+        self._isolate_failures = isolate_failures
         self._template: List[PipelineStep] = [s.clone() for s in (steps or [])]
         self._steps: List[PipelineStep] = [s.clone() for s in self._template]
         self._undo: List[PipelineState] = []
@@ -295,11 +297,37 @@ class PipelineManager:
         return self.apply_host(array)
 
     def apply_host(self, image: Any) -> Any:
-        """Reference-semantics host execution (per-step, executor-aware)."""
+        """Reference-semantics host execution (per-step, executor-aware).
+
+        With ``isolate_failures`` (the packaged manager's contract,
+        ``yam_processor/processing/pipeline_manager.py:668-716``) a raising
+        step is disabled, its traceback lands under the recovery root, and
+        a PipelineExecutionError is raised.
+        """
 
         result = image.copy() if isinstance(image, np.ndarray) else image
-        for step in self.iter_enabled_steps():
-            result = self._run_step(step, result)
+        for index, step in enumerate(self._steps):
+            if not step.enabled:
+                continue
+            if not self._isolate_failures:
+                result = self._run_step(step, result)
+                continue
+            try:
+                result = self._run_step(step, result)
+            except Exception as exc:
+                from yamimageprocessor_tpu.pipeline.errors import (
+                    PipelineExecutionError,
+                    PipelineFailure,
+                    write_failure_traceback,
+                )
+
+                step.enabled = False
+                failure = PipelineFailure(
+                    step_name=step.name, step_index=index, error=exc
+                )
+                write_failure_traceback(self._recovery_root, failure)
+                self._emit("step_failed", step=step, index=index, failure=failure)
+                raise PipelineExecutionError(failure) from exc
         return result
 
     run_host = apply_host
