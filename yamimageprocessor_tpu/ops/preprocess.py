@@ -83,7 +83,9 @@ def gamma_np(image: np.ndarray, value: float = 1.0) -> np.ndarray:
 
 
 def gamma_j(img, dyn):
-    return dyn["lut"][img]
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
+    return apply_lut_j(img, dyn["lut"])
 
 
 register_op(
@@ -114,7 +116,9 @@ def histeq_np(image: np.ndarray) -> np.ndarray:
 def _equalize_gray_j(gray):
     import jax.numpy as jnp
 
-    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
+
+    hist = histogram256_j(gray)
     total = gray.size
     nonzero = hist > 0
     first = jnp.argmax(nonzero)
@@ -128,7 +132,7 @@ def _equalize_gray_j(gray):
     lut = jnp.where(idx <= first, jnp.uint8(0), lut)
     # constant image: cv2 leaves it untouched (identity LUT)
     lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
-    return lut[gray]
+    return apply_lut_j(gray, lut)
 
 
 def histeq_j(img, dyn):
@@ -149,8 +153,9 @@ def _equalize_gray_sharded_j(gray, axis: str):
     import jax
     import jax.numpy as jnp
 
-    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
-    hist = jax.lax.psum(hist, axis)
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
+
+    hist = jax.lax.psum(histogram256_j(gray), axis)
     total = jnp.sum(hist)
     nonzero = hist > 0
     first = jnp.argmax(nonzero)
@@ -163,7 +168,7 @@ def _equalize_gray_sharded_j(gray, axis: str):
     idx = jnp.arange(256)
     lut = jnp.where(idx <= first, jnp.uint8(0), lut)
     lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
-    return lut[gray]
+    return apply_lut_j(gray, lut)
 
 
 def histeq_sharded_j(img, dyn, *, axis: str):

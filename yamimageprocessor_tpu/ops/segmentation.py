@@ -72,9 +72,10 @@ def otsu_sharded_j(img, dyn, *, axis: str):
     import jax
     import jax.numpy as jnp
 
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
     gray = C.bgr_to_gray_j(img)
-    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
-    hist = jax.lax.psum(hist, axis)
+    hist = jax.lax.psum(histogram256_j(gray), axis)
     t = T.otsu_from_hist_j(hist)
     return T.binary_j(gray, t)
 

@@ -232,9 +232,9 @@ def histogram_stats_np(gray: np.ndarray) -> Dict[str, float]:
 def histogram_stats_j(gray):
     import jax.numpy as jnp
 
-    hist = (
-        jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
-    ).astype(jnp.float32)
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+    hist = histogram256_j(gray).astype(jnp.float32)
     total = jnp.maximum(hist.sum(), 1.0)
     px = jnp.arange(256, dtype=jnp.float32)
     mean = (px * hist).sum() / total

@@ -60,10 +60,9 @@ def otsu_from_hist_j(hist):
 
 
 def otsu_threshold_j(gray):
-    import jax.numpy as jnp
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
 
-    hist = jnp.zeros((256,), jnp.int32).at[gray.ravel().astype(jnp.int32)].add(1)
-    return otsu_from_hist_j(hist)
+    return otsu_from_hist_j(histogram256_j(gray))
 
 
 def binary_np(gray: np.ndarray, thresh, maxval: int = 255, inverse: bool = False):

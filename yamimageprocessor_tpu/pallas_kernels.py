@@ -1,0 +1,139 @@
+"""Pallas/Mosaic TPU kernels for the gather/scatter-shaped hot ops.
+
+XLA's TPU lowering serializes per-pixel table gathers and scatter-adds
+(measured ~100x below roofline); the plain-XLA fallbacks in
+:mod:`yamimageprocessor_tpu.ops.lutops` sweep the 256 levels from HBM.
+These kernels fuse the sweep into a single HBM pass: each grid step stages
+a row-block in VMEM and runs the level sweep against on-chip data.
+
+* :func:`lut_apply` — ``lut[img]`` for uint8 images, one HBM read/write.
+* :func:`histogram256` — per-block VMEM histograms accumulated across the
+  sequential TPU grid into one (256,) output.
+
+Both fall back to the lutops implementations off-TPU (CPU tests run the
+fallback; TPU parity is asserted in the benchmark harness).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+
+def _row_block(h: int, max_rows: int = 512) -> int:
+    rows = min(h, max_rows)
+    # keep block height a divisor-friendly multiple of 8 where possible
+    while h % rows and rows > 8:
+        rows -= 8
+    return max(rows, 1)
+
+
+def lut_apply(img, lut):
+    """``lut[img]`` (uint8 image, (256,) uint8 LUT) via a VMEM level sweep."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
+        return apply_lut_j(img, lut)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = img.shape
+    flat = img.reshape(-1)
+    pad = (-flat.shape[0]) % 1024
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    work = flat.reshape(-1, 1024)
+    h, w = work.shape
+    rows = _row_block(h)
+
+    def kernel(img_ref, lut_ref, out_ref):
+        x = img_ref[:].astype(jnp.int32)
+
+        def body(k, acc):
+            # lut lives in SMEM: dynamic scalar reads are legal there
+            return jnp.where(x == k, lut_ref[k], acc)
+
+        init = jnp.full(x.shape, lut_ref[0], dtype=jnp.int32)
+        out_ref[:] = jax.lax.fori_loop(1, 256, body, init).astype(jnp.uint8)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        grid=(pl.cdiv(h, rows),),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(work, lut.astype(jnp.int32))
+    flat_out = out.reshape(-1)
+    if pad:
+        flat_out = flat_out[:-pad]
+    return flat_out.reshape(orig_shape)
+
+
+def histogram256(img):
+    """(256,) int32 level counts for a uint8 image, one HBM pass."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+        return histogram256_j(img)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    flat = img.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % 1024
+    if pad:
+        # pad with 0 and correct bin 0 afterwards
+        flat = jnp.pad(flat, (0, pad))
+    work = flat.reshape(-1, 1024)
+    h, w = work.shape
+    rows = _row_block(h)
+
+    def kernel(img_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            def clear(k, _):
+                out_ref[k] = 0
+                return 0
+
+            jax.lax.fori_loop(0, 256, clear, 0)
+
+        x = img_ref[:].astype(jnp.int32)
+
+        def body(k, _):
+            count = jnp.sum((x == k).astype(jnp.int32))
+            out_ref[k] = out_ref[k] + count
+            return 0
+
+        jax.lax.fori_loop(0, 256, body, 0)
+
+    counts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((256,), jnp.int32),
+        grid=(pl.cdiv(h, rows),),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )(work)
+    hist = counts
+    if pad:
+        hist = hist.at[0].add(-pad)
+    return hist
+
+
+__all__ = ["lut_apply", "histogram256"]
