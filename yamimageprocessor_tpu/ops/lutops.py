@@ -29,6 +29,15 @@ def apply_lut_j(img, lut):
         # CPU gathers are fast; the sweep would be 256x slower there
         return lut[img.astype(jnp.int32)]
 
+    if jax.default_backend() == "tpu":
+        try:
+            from yamimageprocessor_tpu.pallas_kernels import lut_apply_batchable
+
+            out = lut_apply_batchable()(img, lut.astype(jnp.uint8))
+            return out.astype(lut.dtype)
+        except Exception:  # pragma: no cover - mosaic regressions
+            pass
+
     x = img.astype(jnp.int32)
 
     def body(k, acc):
@@ -47,6 +56,16 @@ def histogram256_j(img):
 
     if jax.default_backend() == "cpu":
         return jnp.zeros((256,), jnp.int32).at[img.ravel().astype(jnp.int32)].add(1)
+
+    if jax.default_backend() == "tpu":
+        try:
+            from yamimageprocessor_tpu.pallas_kernels import (
+                histogram256_batchable,
+            )
+
+            return histogram256_batchable()(img)
+        except Exception:  # pragma: no cover - mosaic regressions
+            pass
 
     x = img.astype(jnp.int32)
 

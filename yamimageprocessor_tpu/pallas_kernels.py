@@ -136,4 +136,70 @@ def histogram256(img):
     return hist
 
 
-__all__ = ["lut_apply", "histogram256"]
+_batchable_histogram = None
+
+
+def histogram256_batchable():
+    """vmap-safe wrapper: single frames hit the pallas kernel; under vmap a
+    custom batching rule maps frames sequentially (the SMEM output block is
+    not batchable directly)."""
+
+    global _batchable_histogram
+    if _batchable_histogram is not None:
+        return _batchable_histogram
+
+    import jax
+
+    @jax.custom_batching.custom_vmap
+    def hist(img):
+        return histogram256(img)
+
+    @hist.def_vmap
+    def _rule(axis_size, in_batched, img):  # noqa: ANN001
+        del axis_size
+        out = jax.lax.map(histogram256, img)
+        return out, True
+
+    _batchable_histogram = hist
+    return hist
+
+
+_batchable_lut = None
+
+
+def lut_apply_batchable():
+    """vmap-safe LUT apply: handles batched images with per-frame LUTs
+    (histogram equalization under a vmapped chain) by mapping frames
+    sequentially; the plain kernel covers the unbatched/shared-LUT cases."""
+
+    global _batchable_lut
+    if _batchable_lut is not None:
+        return _batchable_lut
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_batching.custom_vmap
+    def apply(img, lut):
+        return lut_apply(img, lut)
+
+    @apply.def_vmap
+    def _rule(axis_size, in_batched, img, lut):  # noqa: ANN001
+        img_b, lut_b = in_batched
+        if not img_b:
+            img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
+        if not lut_b:
+            lut = jnp.broadcast_to(lut[None], (axis_size,) + lut.shape)
+        out = jax.lax.map(lambda args: lut_apply(*args), (img, lut))
+        return out, True
+
+    _batchable_lut = apply
+    return apply
+
+
+__all__ = [
+    "lut_apply",
+    "histogram256",
+    "histogram256_batchable",
+    "lut_apply_batchable",
+]

@@ -80,15 +80,9 @@ class CompiledChain:
         spec = jax.ShapeDtypeStruct(self.shape, self.dtype)
         for seg_idx, plan in enumerate(self.plans):
             if plan.kind == "host":
-                for i in plan.indices:
-                    step = self.steps[i]
-                    # host output shape is unknowable without running; assume
-                    # unchanged unless the op reshapes (handled at run time by
-                    # re-specializing is not needed: host segments end device
-                    # tracing naturally, and the next device segment is built
-                    # lazily at run time if the shape changed).
-                    pass
-                spec = None  # unknown after a host segment
+                # host output shapes are unknowable without running; device
+                # segments after a host op are built lazily at run time
+                spec = None
                 continue
             if spec is None:
                 # deferred: built lazily on first run when shape is known
