@@ -23,7 +23,7 @@ CASES = [
     ("preprocessing.brightness_contrast", {"alpha": 1.4, "beta": 7.0}, 0),
     ("preprocessing.gamma", {"value": 2.2}, 0),
     ("preprocessing.histogram_equalization", {}, 0),
-    ("preprocessing.normalize", {"alpha": 10.0, "beta": 240.0}, 0),
+    ("preprocessing.normalize", {"alpha": 10.0, "beta": 240.0}, 1),
     ("preprocessing.noise_reduction", {"method": "Gaussian", "ksize": 5}, 1),
     ("preprocessing.noise_reduction", {"method": "Median", "ksize": 5}, 0),
     ("preprocessing.sharpen", {"strength": 1.0}, 1),

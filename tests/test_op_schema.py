@@ -19,7 +19,7 @@ def test_op_counts_match_reference_inventory():
     # (processing/segmentation_pipeline.py:84-184); 10 extraction methods
     # (processing/extraction_pipeline.py:77-137).
     assert len([op for op in PREPROCESS_OPS if op.persisted]) == 8
-    assert len(PREPROCESS_OPS) == 9
+    assert len(PREPROCESS_OPS) == 10  # + histeq kernel + CLAHE extension
     assert len(SEGMENTATION_OPS) == 21
     assert len(EXTRACTION_OPS) == 10
 

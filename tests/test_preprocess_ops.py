@@ -262,3 +262,41 @@ def test_crop_overlay_matches_cv2(bgr):
     assert np.abs(
         out[inner].astype(int) - blended[inner].astype(int)
     ).max() <= 1
+
+
+def test_clahe_matches_cv2_exact_divisible():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    assert_triple(
+        "preprocessing.clahe",
+        img,
+        lambda im: cv2.createCLAHE(clipLimit=40.0, tileGridSize=(8, 8)).apply(im),
+        clip_limit=40.0,
+        grid_size=8,
+    )
+
+
+@pytest.mark.parametrize("shape", [(96, 120), (130, 100)])
+def test_clahe_matches_cv2_padded(shape):
+    # non-divisible frames pad to the grid; blend-rounding ties at exact .5
+    # differ by <=1 LSB between float32/float64 evaluation orders
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert_triple(
+        "preprocessing.clahe",
+        img,
+        lambda im: cv2.createCLAHE(clipLimit=40.0, tileGridSize=(8, 8)).apply(im),
+        max_cv2_diff=1,
+        max_dev_diff=1,
+        clip_limit=40.0,
+        grid_size=8,
+    )
+
+
+def test_clahe_color(bgr):
+    impl = get_impl("preprocessing.clahe")
+    out = impl.golden_fn(bgr, clip_limit=2.0, grid_size=4)
+    assert out.shape == bgr.shape
+    device = run_device("preprocessing.clahe", bgr, clip_limit=2.0, grid_size=4)
+    # f32/f64 blend-rounding ties: <=1 LSB on the equalized Y channel
+    assert np.abs(device.astype(int) - out.astype(int)).max() <= 1

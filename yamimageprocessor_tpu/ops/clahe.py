@@ -1,0 +1,183 @@
+"""CLAHE — contrast-limited adaptive histogram equalization.
+
+The reference only offers global equalization (``core/preprocessing.py:
+73-79``); the BASELINE's fused-chain configuration names CLAHE, so the
+framework ships it as an extension op with cv2.createCLAHE semantics:
+
+1. pad to a multiple of the tile grid (BORDER_REFLECT_101);
+2. per-tile 256-bin histogram; clip at ``max(clip_limit*area/256, 1)`` and
+   redistribute the excess evenly (remainder spread one-per-bin from 0);
+3. per-tile LUT = round(cdf * 255 / area);
+4. each output pixel bilinearly blends the LUTs of its 4 surrounding tile
+   centers (edge-clamped).
+
+The device path evaluates the blended LUTs with the gather-free level
+sweep (per-level upsampled tile tables folded with fused multiply-adds),
+so the whole op is VPU work; per-tile histograms reuse the reshape-sum.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _tile_luts_np(
+    gray: np.ndarray, grid: Tuple[int, int], clip_limit: float
+) -> np.ndarray:
+    gh, gw = grid
+    h, w = gray.shape
+    th, tw = h // gh, w // gw
+    area = th * tw
+    tiles = gray.reshape(gh, th, gw, tw)
+    luts = np.zeros((gh, gw, 256), np.uint8)
+    limit = max(int(clip_limit * area / 256.0), 1)
+    scale = 255.0 / area
+    for i in range(gh):
+        for j in range(gw):
+            hist = np.bincount(tiles[i, :, j, :].ravel(), minlength=256)
+            if clip_limit > 0:
+                clipped = int(np.maximum(hist - limit, 0).sum())
+                hist = np.minimum(hist, limit)
+                batch = clipped // 256
+                residual = clipped - batch * 256
+                hist = hist + batch
+                if residual:
+                    # cv2 spreads the residual with stride 256/residual
+                    step = max(256 // residual, 1)
+                    idx = np.arange(0, residual * step, step)[:residual]
+                    hist[idx] += 1
+            cdf = np.cumsum(hist)
+            luts[i, j] = np.clip(np.rint(cdf * scale), 0, 255).astype(np.uint8)
+    return luts
+
+
+def _pad_to_grid(gray: np.ndarray, grid: Tuple[int, int]):
+    gh, gw = grid
+    h, w = gray.shape
+    ph = (-h) % gh
+    pw = (-w) % gw
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="reflect")
+    return gray, (h, w)
+
+
+def _interp_weights(h: int, w: int, grid: Tuple[int, int]):
+    """Per-pixel surrounding tile indices + bilinear weights (edge clamp)."""
+
+    gh, gw = grid
+    th, tw = h // gh, w // gw
+    # cv2's convention: x / tile_w - 0.5 (no pixel-center offset); indices
+    # clamp AFTER the fraction is taken, so edge pixels blend a tile with
+    # itself (validated bit-exact against cv2.createCLAHE)
+    ys = np.arange(h) / th - 0.5
+    xs = np.arange(w) / tw - 0.5
+    fy = ys - np.floor(ys)
+    fx = xs - np.floor(xs)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, gh - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, gw - 1)
+    y1 = np.clip(np.floor(ys).astype(np.int64) + 1, 0, gh - 1)
+    x1 = np.clip(np.floor(xs).astype(np.int64) + 1, 0, gw - 1)
+    return (y0, y1, fy), (x0, x1, fx)
+
+
+def clahe_np(
+    gray: np.ndarray,
+    clip_limit: float = 40.0,
+    grid: Tuple[int, int] = (8, 8),
+) -> np.ndarray:
+    work, (h, w) = _pad_to_grid(np.asarray(gray), grid)
+    luts = _tile_luts_np(work, grid, clip_limit)
+    (y0, y1, fy), (x0, x1, fx) = _interp_weights(*work.shape, grid)
+    vals = work.astype(np.int64)
+    l00 = luts[y0[:, None], x0[None, :], vals].astype(np.float64)
+    l01 = luts[y0[:, None], x1[None, :], vals].astype(np.float64)
+    l10 = luts[y1[:, None], x0[None, :], vals].astype(np.float64)
+    l11 = luts[y1[:, None], x1[None, :], vals].astype(np.float64)
+    fy2 = fy[:, None]
+    fx2 = fx[None, :]
+    out = (
+        l00 * (1 - fy2) * (1 - fx2)
+        + l01 * (1 - fy2) * fx2
+        + l10 * fy2 * (1 - fx2)
+        + l11 * fy2 * fx2
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
+    import jax
+    import jax.numpy as jnp
+
+    gh, gw = grid
+    h0, w0 = gray.shape
+    ph = (-h0) % gh
+    pw = (-w0) % gw
+    work = jnp.pad(gray, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else gray
+    h, w = work.shape
+    th, tw = h // gh, w // gw
+    area = th * tw
+    limit = max(int(clip_limit * area / 256.0), 1)
+    scale = jnp.float32(255.0 / area)
+
+    tiles = work.reshape(gh, th, gw, tw).astype(jnp.int32)
+
+    # per-tile histograms via the level sweep (VPU-only)
+    def hist_level(k):
+        return (tiles == k).sum(axis=(1, 3))
+
+    hist = jax.lax.map(hist_level, jnp.arange(256, dtype=jnp.int32))
+    hist = jnp.moveaxis(hist, 0, -1)  # (gh, gw, 256)
+
+    if clip_limit > 0:
+        clipped = jnp.maximum(hist - limit, 0).sum(axis=-1)  # (gh, gw)
+        hist = jnp.minimum(hist, limit)
+        batch = clipped // 256
+        residual = clipped - batch * 256
+        hist = hist + batch[..., None]
+        # residual spread: bins at stride max(256//residual, 1)
+        idx = jnp.arange(256)
+        step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)
+        take = (idx[None, None, :] % step[..., None] == 0) & (
+            idx[None, None, :] // step[..., None] < residual[..., None]
+        )
+        hist = hist + take.astype(hist.dtype)
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    luts = jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale), 0, 255).astype(
+        jnp.float32
+    )  # (gh, gw, 256)
+
+    (y0, y1, fy), (x0, x1, fx) = _interp_weights(h, w, grid)
+    y0 = jnp.asarray(y0)
+    y1 = jnp.asarray(y1)
+    x0 = jnp.asarray(x0)
+    x1 = jnp.asarray(x1)
+    fy2 = jnp.asarray(fy, dtype=jnp.float32)[:, None]
+    fx2 = jnp.asarray(fx, dtype=jnp.float32)[None, :]
+    w00 = (1 - fy2) * (1 - fx2)
+    w01 = (1 - fy2) * fx2
+    w10 = fy2 * (1 - fx2)
+    w11 = fy2 * fx2
+
+    vals = work.astype(jnp.int32)
+
+    def upsample(table_k):
+        # (gh, gw) per-tile scalar -> (h, w) map for the four corners
+        t00 = table_k[y0][:, x0]
+        t01 = table_k[y0][:, x1]
+        t10 = table_k[y1][:, x0]
+        t11 = table_k[y1][:, x1]
+        return w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+
+    def body(k, acc):
+        blended = upsample(luts[:, :, k])
+        return jnp.where(vals == k, blended, acc)
+
+    init = upsample(luts[:, :, 0])
+    out = jax.lax.fori_loop(1, 256, body, init)
+    out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+    return out[:h0, :w0]
+
+
+__all__ = ["clahe_np", "clahe_j"]

@@ -191,6 +191,48 @@ register_op(
 
 
 # ---------------------------------------------------------------------------
+# CLAHE (extension; cv2.createCLAHE semantics, bit-exact)
+
+
+def clahe_op_np(image, clip_limit: float = 40.0, grid_size: int = 8):
+    from yamimageprocessor_tpu.ops.clahe import clahe_np
+
+    grid = (int(grid_size), int(grid_size))
+    if image.ndim == 2:
+        return clahe_np(image, float(clip_limit), grid)
+    ycrcb = C.bgr_to_ycrcb_np(image)
+    ycrcb[..., 0] = clahe_np(ycrcb[..., 0], float(clip_limit), grid)
+    return C.ycrcb_to_bgr_np(ycrcb)
+
+
+def clahe_op_j(img, dyn, *, clip_limit: float = 40.0, grid_size: int = 8):
+    from yamimageprocessor_tpu.ops.clahe import clahe_j
+
+    grid = (int(grid_size), int(grid_size))
+    if img.ndim == 2:
+        return clahe_j(img, clip_limit=float(clip_limit), grid=grid)
+    ycrcb = C.bgr_to_ycrcb_j(img)
+    y = clahe_j(ycrcb[..., 0], clip_limit=float(clip_limit), grid=grid)
+    ycrcb = ycrcb.at[..., 0].set(y)
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
+register_op(
+    "preprocessing.clahe",
+    golden_fn=clahe_op_np,
+    device_fn=clahe_op_j,
+    split=lambda p: (
+        {
+            "clip_limit": float(p.get("clip_limit", 40.0)),
+            "grid_size": int(p.get("grid_size", 8)),
+        },
+        {},
+    ),
+    global_stats=True,  # tile grid spans the frame
+)
+
+
+# ---------------------------------------------------------------------------
 # Intensity normalization (core/preprocessing.py:93-95: cv2 NORM_MINMAX)
 
 

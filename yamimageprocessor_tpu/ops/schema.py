@@ -326,6 +326,19 @@ PREPROCESS_OPS: Tuple[OpSchema, ...] = (
         persisted=False,
     ),
     OpSchema(
+        identifier="preprocessing.clahe",
+        method="clahe",
+        stage=Stage.PREPROCESSING,
+        title="CLAHE",
+        description="Contrast-limited adaptive histogram equalization "
+        "(extension beyond the reference's global equalization).",
+        params=(
+            _p_float("clip_limit", 40.0, 0.0, 255.0, decimals=1),
+            _p_int("grid_size", 8, 2, 64),
+        ),
+        persisted=False,
+    ),
+    OpSchema(
         identifier="preprocessing.crop",
         method="crop",
         stage=Stage.PREPROCESSING,
