@@ -1,0 +1,213 @@
+"""Headless pane behaviors: progressive preview, cancellation restoring the
+baseline, undo/redo via cache signatures, mass processing (models the
+reference's pytest-qt pane suites, SURVEY §4)."""
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.core.app_core import AppConfiguration, AppCore
+from yamimageprocessor_tpu.io import image_io
+from yamimageprocessor_tpu.ops.schema import Stage
+from yamimageprocessor_tpu.ui.controller import UnifiedPipelineController
+from yamimageprocessor_tpu.ui.panes import (
+    ExtractionPane,
+    PreprocessingPane,
+    SegmentationPane,
+)
+
+
+@pytest.fixture()
+def core(tmp_path):
+    cfg = AppConfiguration(
+        allowed_roots=(tmp_path,),
+        session_root=tmp_path / "session",
+        settings_path=tmp_path / "settings.json",
+        max_workers=1,
+    )
+    core = AppCore(cfg)
+    core.bootstrap()
+    core.settings.set_autosave_interval(0.0)
+    yield core
+    core.shutdown()
+
+
+@pytest.fixture()
+def controller(core):
+    return UnifiedPipelineController(core)
+
+
+@pytest.fixture()
+def pane(core, controller):
+    pane = PreprocessingPane(core, controller)
+    core.set_module_enabled("BrightnessContrast", True)
+    core.get_pipeline_manager().update_step_params(
+        "BrightnessContrast", {"alpha": 1.5, "beta": 0.0}
+    )
+    controller.recompute_pipeline()
+    return pane
+
+
+@pytest.fixture()
+def frame(tmp_path, rng):
+    img = rng.integers(0, 200, (64, 96, 3), dtype=np.uint8)
+    path = tmp_path / "frame.png"
+    image_io.save_image(path, img)
+    return path, img
+
+
+def _wait(task, timeout=30):
+    assert task is not None
+    task.future.result(timeout=timeout)
+
+
+def test_load_and_preview(pane, frame):
+    path, img = frame
+    previews = []
+    pane.on_preview = previews.append
+    pane.load_image(path)
+    assert pane.source_id is not None
+    assert (pane.original == img).all()
+    assert pane.preview_record is not None
+
+    task = pane.update_preview()
+    _wait(task)
+    expected = pane._steps()[
+        [s.name for s in pane._steps()].index("BrightnessContrast")
+    ].impl.golden_fn(img, alpha=1.5, beta=0.0)
+    assert (pane.current_preview == expected).all()
+
+    # second call: cache-hit short circuit, no task
+    previews.clear()
+    assert pane.update_preview() is None
+    assert previews and (previews[-1] == expected).all()
+
+
+def test_commit_undo_redo(pane, frame):
+    path, img = frame
+    pane.load_image(path)
+    _wait(pane.update_preview())
+    pane.commit_current()
+    first_commit = pane.committed.copy()
+    first_sig = pane.committed_signature
+
+    # change parameters, recompute, commit again
+    pane.controller.manager.update_step_params(
+        "BrightnessContrast", {"alpha": 2.0}
+    )
+    _wait(pane.update_preview())
+    pane.commit_current()
+    assert not (pane.committed == first_commit).all()
+
+    assert pane.undo()
+    assert pane.committed_signature == first_sig
+    assert (pane.committed == first_commit).all()
+    assert pane.redo()
+    assert pane.committed_signature != first_sig
+
+
+def test_progressive_tiled_preview(pane, core, tmp_path, rng):
+    big = rng.integers(0, 255, (96, 128), dtype=np.uint8)
+    path = tmp_path / "big.npy"
+    image_io.save_image(path, big)
+    pane.load_image(path, lazy=True)
+    assert pane.original is None  # streaming, never materialized eagerly
+
+    tiles = []
+    pane.on_tile = tiles.append
+    task = pane.update_preview()
+    _wait(task)
+    time.sleep(0.1)
+    assert tiles, "expected incremental tile updates"
+    boxes = [t.box for t in tiles]
+    assert boxes == sorted(boxes, key=lambda b: (b[1], b[0]))  # row-major
+    reassembled = np.zeros(tiles[0].shape, tiles[0].tile.dtype)
+    for t in tiles:
+        left, top, right, bottom = t.box
+        reassembled[top:bottom, left:right] = t.tile
+    assert (reassembled == pane.current_preview).all()
+
+
+def test_cancellation_restores_baseline(pane, core, frame):
+    path, img = frame
+    pane.load_image(path)
+    baseline = pane.committed.copy()
+    previews = []
+    pane.on_preview = previews.append
+
+    # hold the pool hostage so cancel lands before compute starts
+    core.thread_controller.pause()
+    task = pane.update_preview()
+    task.cancel()
+    core.thread_controller.resume()
+    task.future.result(timeout=10)
+    assert task.status.value == "cancelled"
+    assert previews and (previews[-1] == baseline).all()
+
+
+def test_mass_preprocess(pane, core, tmp_path, rng):
+    src = tmp_path / "batch_in"
+    src.mkdir()
+    for i in range(3):
+        image_io.save_image(
+            src / f"f{i}.png", rng.integers(0, 200, (32, 32), dtype=np.uint8)
+        )
+    outputs = pane.mass_preprocess(src, tmp_path / "batch_out")
+    assert len(outputs) == 3
+    assert all(p.exists() for p in outputs)
+
+
+def test_pipeline_json_roundtrip(pane, tmp_path, frame):
+    target = tmp_path / "pipe.json"
+    pane.controller.manager.update_step_params("BrightnessContrast", {"alpha": 1.9})
+    pane.export_pipeline_json(target)
+    pane.controller.manager.update_step_params("BrightnessContrast", {"alpha": 1.0})
+    pane.import_pipeline_json(target)
+    step = next(s for s in pane._steps() if s.name == "BrightnessContrast")
+    assert step.params["alpha"] == 1.9
+
+
+def test_segmentation_pane_order(core, controller, tmp_path, rng):
+    pane = SegmentationPane(core, controller)
+    pane.set_order(["Otsu", "Opening", "Otsu"])  # duplicates allowed
+    names = [s.name for s in controller.stage_steps(Stage.SEGMENTATION)]
+    assert names == ["Otsu", "Opening", "Otsu"]
+    pane.remove_method(2)
+    assert [s.name for s in controller.stage_steps(Stage.SEGMENTATION)] == [
+        "Otsu",
+        "Opening",
+    ]
+
+    img = rng.integers(0, 255, (48, 48), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    image_io.save_image(src, img)
+    out = pane.process_segmentation_file(src, tmp_path / "seg.png")
+    produced = image_io.load_image(out, lazy=False).to_array()
+    assert set(np.unique(produced)).issubset({0, 255})
+
+
+def test_extraction_pane(core, controller, tmp_path):
+    pane = ExtractionPane(core, controller)
+    pane.set_order(["Histogram", "Region Properties"])
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 210
+    written = pane.export_all_extraction_data(img, tmp_path / "csv", base_name="x")
+    assert sorted(p.name for p in written) == [
+        "x_histogram.csv",
+        "x_region_properties.csv",
+    ]
+    count = pane.export_segmented_regions(img, tmp_path / "img.png")
+    assert count == 1
+    assert (tmp_path / "img_regions").is_dir()
+
+
+def test_upstream_resolution(core, controller, rng):
+    seg = SegmentationPane(core, controller)
+    img = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    controller.run_enabled_stages(img)
+    upstream = seg.resolve_upstream_image()
+    assert upstream is not None
