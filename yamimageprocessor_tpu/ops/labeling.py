@@ -46,11 +46,34 @@ def label_np(fg: np.ndarray, connectivity: int = 8) -> np.ndarray:
     return rank[raw].astype(np.int32)
 
 
+def _segmented_min_both(values, reset, axis: int):
+    """Min within contiguous non-reset runs along ``axis`` (both directions)
+    via associative segmented scans — the gather-free label spreader (TPU
+    gathers are ~100x off roofline, so path compression by indirection is
+    replaced by run-length propagation)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    def combine(left, right):
+        lv, lf = left
+        rv, rf = right
+        value = jnp.where(rf, rv, jnp.minimum(lv, rv))
+        return value, lf | rf
+
+    fwd, _ = jax.lax.associative_scan(combine, (values, reset), axis=axis)
+    rev_in = (jnp.flip(values, axis), jnp.flip(reset, axis))
+    rev, _ = jax.lax.associative_scan(combine, rev_in, axis=axis)
+    return jnp.minimum(fwd, jnp.flip(rev, axis))
+
+
 def label_j(fg, max_iters: int = 256):
     """Device twin of :func:`label_np`; ``fg`` is a bool (H, W) array.
 
-    Label propagation with path compression; the sentinel ``H*W`` marks
-    background.  Returns int32 labels, 0 = background.
+    Each round does a 1-pixel 8-neighbor min (covers diagonal links) then
+    full-run row/column segmented min-scans (straight runs collapse in one
+    pass), so convergence is a few rounds for realistic masks instead of
+    O(diameter) sweeps.  Returns int32 labels, 0 = background.
     """
 
     import jax
@@ -61,6 +84,7 @@ def label_j(fg, max_iters: int = 256):
     sentinel = jnp.int32(n)
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab0 = jnp.where(fg, idx, sentinel)
+    bg = ~fg
 
     def neighbor_min(lab):
         p = jnp.pad(lab, 1, constant_values=sentinel)
@@ -72,11 +96,11 @@ def label_j(fg, max_iters: int = 256):
                 m = jnp.minimum(m, p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
         return jnp.where(fg, m, sentinel)
 
-    def compress(lab):
-        flat = lab.ravel()
-        ext = jnp.concatenate([flat, jnp.int32([n])])
-        jumped = ext[flat]
-        return jnp.where(fg, jnp.minimum(lab, jumped.reshape(h, w)), sentinel)
+    def spread(lab):
+        lab = neighbor_min(lab)
+        lab = jnp.where(fg, _segmented_min_both(lab, bg, axis=1), sentinel)
+        lab = jnp.where(fg, _segmented_min_both(lab, bg, axis=0), sentinel)
+        return lab
 
     def cond(state):
         lab, prev, it = state
@@ -84,12 +108,9 @@ def label_j(fg, max_iters: int = 256):
 
     def body(state):
         lab, _, it = state
-        new = compress(compress(neighbor_min(lab)))
-        return new, lab, it + 1
+        return spread(lab), lab, it + 1
 
-    lab, _, _ = jax.lax.while_loop(
-        cond, body, (compress(neighbor_min(lab0)), lab0, jnp.int32(0))
-    )
+    lab, _, _ = jax.lax.while_loop(cond, body, (spread(lab0), lab0, jnp.int32(0)))
 
     # compact raster-first renumbering: roots are component min flat indices,
     # which are automatically ordered by raster-first occurrence.

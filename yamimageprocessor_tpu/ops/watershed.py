@@ -106,6 +106,17 @@ def watershed_np(image: np.ndarray, markers: np.ndarray) -> np.ndarray:
 
 
 def watershed_j(image, markers):
+    """Level-synchronous flooding, device edition.
+
+    Identical fixed point to :func:`watershed_np` but restructured for the
+    chip: edge costs are hoisted out of the loop (they never change), and a
+    SINGLE while loop both stabilizes the current level and — when a sweep
+    makes no progress — jumps directly to the next ACTIVE level (the min
+    frontier cost), so the 256-level outer loop never grinds through empty
+    levels.  Every sweep is ~15 fused elementwise passes; there are no
+    gathers or scatters anywhere.
+    """
+
     import jax
     import jax.numpy as jnp
 
@@ -122,27 +133,28 @@ def watershed_j(image, markers):
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     lab0 = jnp.where(border, _WSHED, lab0)
 
-    zeros = jnp.zeros((h, w), jnp.int32)
-    bigs = jnp.full((h, w), big, jnp.int32)
-
-    def neighbors(lab):
-        l_up = zeros.at[1:, :].set(lab[:-1])
-        c_up = bigs.at[1:, :].set(dyc)
-        l_dn = zeros.at[:-1, :].set(lab[1:])
-        c_dn = bigs.at[:-1, :].set(dyc)
-        l_lf = zeros.at[:, 1:].set(lab[:, :-1])
-        c_lf = bigs.at[:, 1:].set(dxc)
-        l_rt = zeros.at[:, :-1].set(lab[:, 1:])
-        c_rt = bigs.at[:, :-1].set(dxc)
-        return (l_up, l_dn, l_lf, l_rt), (c_up, c_dn, c_lf, c_rt)
+    # per-direction edge costs, hoisted (constant across the flood)
+    c_up = jnp.full((h, w), big, jnp.int32).at[1:, :].set(dyc)
+    c_dn = jnp.full((h, w), big, jnp.int32).at[:-1, :].set(dyc)
+    c_lf = jnp.full((h, w), big, jnp.int32).at[:, 1:].set(dxc)
+    c_rt = jnp.full((h, w), big, jnp.int32).at[:, :-1].set(dxc)
+    costs = (c_up, c_dn, c_lf, c_rt)
 
     def sweep(lab, level):
-        (labs, costs) = neighbors(lab)
+        p = jnp.pad(lab, 1, constant_values=0)
+        labs = (
+            p[:-2, 1:-1],  # up
+            p[2:, 1:-1],  # down
+            p[1:-1, :-2],  # left
+            p[1:-1, 2:],  # right
+        )
         unknown = lab == 0
-        trig = jnp.zeros((h, w), bool)
+        trig_cost = jnp.full((h, w), big, jnp.int32)
         for nl, cost in zip(labs, costs):
-            trig = trig | ((nl > 0) & (cost <= level))
-        trig = trig & unknown
+            trig_cost = jnp.minimum(
+                trig_cost, jnp.where(nl > 0, cost, big)
+            )
+        trig = unknown & (trig_cost <= level)
         chosen = jnp.zeros((h, w), jnp.int32)
         conflict = jnp.zeros((h, w), bool)
         for nl in labs:
@@ -151,21 +163,27 @@ def watershed_j(image, markers):
             conflict = conflict | (pos & (chosen > 0) & (nl != chosen))
             chosen = jnp.where(newly, nl, chosen)
         new_val = jnp.where(conflict, jnp.int32(_WSHED), chosen)
-        return jnp.where(trig, new_val, lab), jnp.any(trig)
+        new_lab = jnp.where(trig, new_val, lab)
+        # next active level: min frontier cost among still-unknown pixels
+        still_unknown = new_lab == 0
+        frontier = jnp.where(still_unknown & (trig_cost < big), trig_cost, big)
+        next_active = jnp.minimum(frontier.min(), 256)
+        return new_lab, jnp.any(trig), next_active
 
-    def level_body(level, lab):
-        def cond(state):
-            _, changed = state
-            return changed
+    def cond(state):
+        _, level = state
+        return level < 256
 
-        def body(state):
-            cur, _ = state
-            return sweep(cur, level)
+    def body(state):
+        lab, level = state
+        new_lab, changed, next_active = sweep(lab, level)
+        # stall -> jump to the next active level (>= current by construction
+        # of the flood); progress -> stay and keep stabilizing
+        new_level = jnp.where(changed, level, jnp.maximum(next_active, level + 1))
+        return new_lab, new_level.astype(jnp.int32)
 
-        lab, _ = jax.lax.while_loop(cond, body, sweep(lab, level))
-        return lab
-
-    return jax.lax.fori_loop(0, 256, level_body, lab0)
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.int32(0)))
+    return lab
 
 
 def paint_boundaries_np(image: np.ndarray, labels: np.ndarray) -> np.ndarray:
