@@ -186,3 +186,38 @@ def test_pipeline_trace():
     summary = trace.summary()
     assert set(summary) == {"preprocess", "segment"}
     assert trace.total() >= 0
+
+
+def test_startup_selection():
+    from yamimageprocessor_tpu.core.settings import SettingsManager
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.ui.startup import StartupSelection
+
+    settings = SettingsManager(seed_defaults=True)
+    sel = StartupSelection.load(settings)
+    assert len(sel.stages) == 3  # default: everything
+    sel.toggle(Stage.ANALYSIS)
+    sel.diagnostics = True
+    sel.save(settings)
+
+    reloaded = StartupSelection.load(settings)
+    assert Stage.ANALYSIS not in reloaded.stages
+    assert reloaded.diagnostics is True
+    # never drops to zero stages
+    reloaded.toggle(Stage.PREPROCESSING)
+    reloaded.toggle(Stage.SEGMENTATION)
+    assert len(reloaded.stages) == 1
+
+
+def test_shortcut_registry():
+    from yamimageprocessor_tpu.ui.theme import (
+        HIGH_CONTRAST_PALETTE,
+        default_shortcuts,
+    )
+
+    registry = default_shortcuts()
+    assert registry.lookup("undo").keys == "Ctrl+Z"
+    assert registry.by_keys("ctrl+o").action == "open"
+    summary = registry.summary()
+    assert "File" in summary and "Navigation" in summary
+    assert all(v.startswith("#") for v in HIGH_CONTRAST_PALETTE.values())
