@@ -109,7 +109,9 @@ def distance_transform_j(binary):
         new = row_relax(cand)
         return (new, prev1), new
 
-    (_, _), fwd = jax.lax.scan(fwd_step, (inf_row, inf_row), d0)
+    # unroll amortizes per-step scan overhead over the H-length dependency
+    # chain (the only sequential part of the transform)
+    (_, _), fwd = jax.lax.scan(fwd_step, (inf_row, inf_row), d0, unroll=8)
 
     def bwd_step(carry, row):
         prev1, prev2 = carry
@@ -117,7 +119,7 @@ def distance_transform_j(binary):
         new = row_relax(cand)
         return (new, prev1), new
 
-    (_, _), bwd = jax.lax.scan(bwd_step, (inf_row, inf_row), fwd[::-1])
+    (_, _), bwd = jax.lax.scan(bwd_step, (inf_row, inf_row), fwd[::-1], unroll=8)
     return bwd[::-1]
 
 
