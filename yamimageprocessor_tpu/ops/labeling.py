@@ -46,25 +46,43 @@ def label_np(fg: np.ndarray, connectivity: int = 8) -> np.ndarray:
     return rank[raw].astype(np.int32)
 
 
-def _segmented_min_both(values, reset, axis: int):
-    """Min within contiguous non-reset runs along ``axis`` (both directions)
-    via associative segmented scans — the gather-free label spreader (TPU
-    gathers are ~100x off roofline, so path compression by indirection is
-    replaced by run-length propagation)."""
+def _shifted(x, offset: int, axis: int, fill):
+    """x shifted by +offset along axis (values move toward higher indices),
+    vacated positions filled — static slicing only, no gathers."""
 
-    import jax
     import jax.numpy as jnp
 
-    def combine(left, right):
-        lv, lf = left
-        rv, rf = right
-        value = jnp.where(rf, rv, jnp.minimum(lv, rv))
-        return value, lf | rf
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if offset >= 0:
+        pad[axis] = (offset, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -offset)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(-offset, n - offset)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
-    fwd, _ = jax.lax.associative_scan(combine, (values, reset), axis=axis)
-    rev_in = (jnp.flip(values, axis), jnp.flip(reset, axis))
-    rev, _ = jax.lax.associative_scan(combine, rev_in, axis=axis)
-    return jnp.minimum(fwd, jnp.flip(rev, axis))
+
+def _segmented_min_both(values, run_id, axis: int, sentinel):
+    """Min within contiguous runs (equal ``run_id``) along ``axis``, both
+    directions, via Hillis-Steele doubling with static shifts.  Gather-free
+    AND compile-light (the log-depth associative_scan alternative overflows
+    the TPU compile helper when nested in a while_loop)."""
+
+    import jax.numpy as jnp
+
+    n = values.shape[axis]
+    out = values
+    shift = 1
+    while shift < n:
+        for sign in (1, -1):
+            moved = _shifted(out, sign * shift, axis, sentinel)
+            moved_id = _shifted(run_id, sign * shift, axis, -1)
+            out = jnp.where(moved_id == run_id, jnp.minimum(out, moved), out)
+        shift *= 2
+    return out
 
 
 def label_j(fg, max_iters: int = 256):
@@ -85,6 +103,10 @@ def label_j(fg, max_iters: int = 256):
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab0 = jnp.where(fg, idx, sentinel)
     bg = ~fg
+    # run ids per axis (bg pixels get unique negative-ish ids so they never
+    # match anything): computed once, reused every round
+    row_runs = jnp.where(fg, jnp.cumsum(bg.astype(jnp.int32), axis=1), -2)
+    col_runs = jnp.where(fg, jnp.cumsum(bg.astype(jnp.int32), axis=0), -2)
 
     def neighbor_min(lab):
         p = jnp.pad(lab, 1, constant_values=sentinel)
@@ -98,8 +120,12 @@ def label_j(fg, max_iters: int = 256):
 
     def spread(lab):
         lab = neighbor_min(lab)
-        lab = jnp.where(fg, _segmented_min_both(lab, bg, axis=1), sentinel)
-        lab = jnp.where(fg, _segmented_min_both(lab, bg, axis=0), sentinel)
+        lab = jnp.where(
+            fg, _segmented_min_both(lab, row_runs, 1, sentinel), sentinel
+        )
+        lab = jnp.where(
+            fg, _segmented_min_both(lab, col_runs, 0, sentinel), sentinel
+        )
         return lab
 
     def cond(state):
