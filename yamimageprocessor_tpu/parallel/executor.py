@@ -35,7 +35,7 @@ class DeviceExecutor:
         clone.enabled = True
         clone.execution.requires_gpu = False
         chain = get_compiled_chain([clone], image.shape, image.dtype)
-        return chain.run_final(np.asarray(image))
+        return chain.run_final(np.asarray(image), [clone])
 
 
 __all__ = ["DeviceExecutor"]

@@ -54,7 +54,7 @@ def batch_sharded_apply(steps: Sequence[Any], images: np.ndarray, mesh) -> np.nd
     )
     sharding = NamedSharding(mesh, P(axis))
     device_images = jax.device_put(jnp.asarray(images), sharding)
-    return np.asarray(chain.run(device_images)[-1])
+    return np.asarray(chain.run(device_images, list(steps))[-1])
 
 
 # ---------------------------------------------------------------------------

@@ -117,9 +117,9 @@ def stream_steps_tiled(
         from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
         try:
-            result = get_compiled_chain(enabled, dense.shape, dense.dtype).run_final(
-                dense
-            )
+            result = get_compiled_chain(
+                enabled, dense.shape, dense.dtype
+            ).run_final(dense, enabled)
         except Exception:
             result = dense.copy()
             for step in enabled:
@@ -151,7 +151,7 @@ def stream_steps_tiled(
         ebox = _expand_box(box, halo, width, height)
         region = np.asarray(image.read_region(ebox))
         chain = get_compiled_chain(enabled, region.shape, region.dtype)
-        dev = chain.run(jnp.asarray(region))[-1]
+        dev = chain.run(jnp.asarray(region), enabled)[-1]
         inflight.append((box, ebox, dev))
         drain(_INFLIGHT)
     drain(0)

@@ -463,7 +463,7 @@ class PipelineCache:
             from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
             chain = get_compiled_chain(steps, image.shape, image.dtype)
-            outs = chain.run(image)
+            outs = chain.run(image, steps)
             return [np.asarray(o) for o in outs]
         except OperationCancelled:
             raise

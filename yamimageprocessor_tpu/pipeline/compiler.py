@@ -147,38 +147,60 @@ class CompiledChain:
 
     # ------------------------------------------------------------------
     def refresh_params(self, steps: Sequence[PipelineStep]) -> None:
-        """Recompute dynamic inputs from new params (same structure)."""
+        """Recompute the stored dynamic inputs (same structure).
+
+        NOTE: per-call parameter overrides should go through ``run(image,
+        steps=...)`` which derives dyn values locally — this method mutates
+        shared state and is only for single-threaded reconfiguration.
+        """
 
         self.steps = [s.clone() for s in steps]
+        self._segment_dyn = self._dyn_for(self.steps)
+
+    def _dyn_for(self, steps: Sequence[PipelineStep]) -> Dict[int, List[Dict[str, Any]]]:
         spec_shape = self.shape[1:] if self.batch else self.shape
         item_shape: Optional[Tuple[int, ...]] = spec_shape
+        out: Dict[int, List[Dict[str, Any]]] = {}
         for seg_idx, plan in enumerate(self.plans):
             if plan.kind != "device" or self._segment_fns.get(seg_idx) is None:
                 item_shape = None
                 continue
             dyns = []
             for i in plan.indices:
-                step = self.steps[i]
+                step = steps[i]
                 if step.enabled and step.impl is not None:
                     _, dyn = step.impl.split_params(step.params, item_shape)
                 else:
                     dyn = {}
                 dyns.append(dyn)
-            self._segment_dyn[seg_idx] = dyns
+            out[seg_idx] = dyns
+        return out
 
-    def run(self, image: np.ndarray) -> List[np.ndarray]:
-        """Execute the chain; returns one output per step (device-resident
-        arrays are fetched lazily by numpy conversion at the boundary)."""
+    def run(
+        self,
+        image: np.ndarray,
+        steps: Optional[Sequence[PipelineStep]] = None,
+    ) -> List[np.ndarray]:
+        """Execute the chain; returns one output per step.
+
+        ``steps`` (same structure, possibly different parameter VALUES)
+        makes the call thread-safe: dynamic inputs are derived locally
+        instead of read from shared state.
+        """
 
         import jax.numpy as jnp
 
-        outputs: List[Any] = [None] * len(self.steps)
+        active_steps = self.steps if steps is None else list(steps)
+        segment_dyn = (
+            self._segment_dyn if steps is None else self._dyn_for(active_steps)
+        )
+        outputs: List[Any] = [None] * len(active_steps)
         cur: Any = image
         for seg_idx, plan in enumerate(self.plans):
             if plan.kind == "host":
                 cur = np.asarray(cur)
                 for i in plan.indices:
-                    cur = self.steps[i].apply(cur)
+                    cur = active_steps[i].apply(cur)
                     outputs[i] = cur
                 continue
             fn = self._segment_fns.get(seg_idx)
@@ -188,7 +210,7 @@ class CompiledChain:
                 cur_j = jnp.asarray(cur)
                 item_shape = cur_j.shape[1:] if self.batch else cur_j.shape
                 for i in plan.indices:
-                    step = self.steps[i]
+                    step = active_steps[i]
                     if step.enabled and step.impl is not None:
                         static, dyn = step.impl.split_params(step.params, item_shape)
                         dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
@@ -200,7 +222,7 @@ class CompiledChain:
             cur_j = jnp.asarray(cur)
             dyn_list = [
                 {k: jnp.asarray(v) for k, v in d.items()}
-                for d in self._segment_dyn[seg_idx]
+                for d in segment_dyn[seg_idx]
             ]
             outs = fn(cur_j, dyn_list)
             for i, out in zip(plan.indices, outs):
@@ -208,8 +230,12 @@ class CompiledChain:
             cur = outs[-1] if outs else cur_j
         return outputs
 
-    def run_final(self, image: np.ndarray) -> np.ndarray:
-        outs = self.run(image)
+    def run_final(
+        self,
+        image: np.ndarray,
+        steps: Optional[Sequence[PipelineStep]] = None,
+    ) -> np.ndarray:
+        outs = self.run(image, steps)
         return np.asarray(outs[-1]) if outs else np.asarray(image)
 
 
@@ -247,9 +273,7 @@ def get_compiled_chain(
     dtype: Any,
     batch: int = 0,
 ) -> CompiledChain:
-    """Fetch-or-build the executable for this chain structure; dynamic params
-    are refreshed on every call so cached executables always see current
-    values."""
+    """Fetch-or-build the executable for this chain structure."""
 
     key = chain_structure_key(steps, shape, dtype, batch)
     with _cache_lock:
@@ -262,8 +286,8 @@ def get_compiled_chain(
             _cache[key] = chain
             while len(_cache) > _CACHE_CAP:
                 _cache.popitem(last=False)
-    else:
-        chain.refresh_params(steps)
+    # parameter VALUES are supplied per call via run(image, steps=...) so a
+    # shared cached chain never carries caller-specific state
     return chain
 
 

@@ -289,7 +289,7 @@ class PipelineManager:
                 from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
                 chain = get_compiled_chain(enabled, array.shape, array.dtype)
-                return chain.run_final(array)
+                return chain.run_final(array, enabled)
             except Exception:
                 LOGGER.exception(
                     "Compiled chain execution failed; falling back to host path"
@@ -385,7 +385,7 @@ class PipelineManager:
                 chain = get_compiled_chain(
                     enabled, array.shape, array.dtype, batch=leading
                 )
-                return chain.run_final(array)
+                return chain.run_final(array, enabled)
             except Exception:
                 LOGGER.exception("Batched chain failed; slice-wise host fallback")
         slices = [self.apply_host(array[i]) for i in range(leading)]

@@ -139,7 +139,7 @@ def process_folder(
                         chain = get_compiled_chain(
                             enabled, stack.shape, stack.dtype, batch=len(chunk)
                         )
-                        result = np.asarray(chain.run(stack)[-1])
+                        result = np.asarray(chain.run(stack, enabled)[-1])
                 except Exception:
                     LOGGER.exception("Batched execution failed; per-frame fallback")
                     result = np.stack(
