@@ -18,9 +18,9 @@ import logging
 import shutil
 import tempfile
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from yamimageprocessor_tpu.core import path_sanitizer
 from yamimageprocessor_tpu.core.io_manager import IOManager

@@ -11,8 +11,6 @@ import logging
 import logging.handlers
 import os
 from pathlib import Path
-from typing import Optional
-
 LOG_FORMAT = "%(asctime)s %(levelname)s [%(component)s] %(message)s"
 MAX_BYTES = 1 * 1024 * 1024
 BACKUP_COUNT = 5

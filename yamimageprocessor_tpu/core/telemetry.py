@@ -8,7 +8,7 @@ and even then nothing leaves the machine; events are structured log lines.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional
+from typing import Any
 
 LOGGER = logging.getLogger("yam.telemetry")
 

@@ -14,7 +14,6 @@ import numpy as np
 from scipy import ndimage as ndi
 
 from yamimageprocessor_tpu.ops import _kernels as K
-from yamimageprocessor_tpu.ops import filters as F
 
 _TG22 = 13573  # tan(22.5 deg) * 2^15 + 0.5
 _SHIFT = 15

@@ -15,9 +15,6 @@ an off-by-one on uint8 in the parity suite.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import numpy as np
 
 _BORDER_NUMPY = {"reflect101": "reflect", "replicate": "edge", "reflect": "symmetric"}

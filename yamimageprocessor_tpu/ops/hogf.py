@@ -139,8 +139,6 @@ def hog_visualize_np(
 ) -> np.ndarray:
     """Line-segment visualization (skimage's hog_image)."""
 
-    from yamimageprocessor_tpu.utils.annotate import _draw_line  # reuse raster
-
     c_row, c_col = pixels_per_cell
     n_cells_row, n_cells_col = hist.shape[:2]
     out = np.zeros(shape, dtype=np.float64)

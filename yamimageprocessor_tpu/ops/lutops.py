@@ -16,9 +16,6 @@ HBM pass for another multiple.
 """
 from __future__ import annotations
 
-import numpy as np
-
-
 def apply_lut_j(img, lut):
     """``lut[img]`` for uint8 ``img``; ``lut`` is a traced (256,) array."""
 

@@ -13,7 +13,7 @@ ellipses, so large structuring elements stay O(k) not O(k^2).
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

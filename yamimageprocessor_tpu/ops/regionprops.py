@@ -18,7 +18,7 @@ dependency — the formulas are re-implemented:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

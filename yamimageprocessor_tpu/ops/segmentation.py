@@ -10,7 +10,7 @@ in the oracle suite.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import numpy as np
 

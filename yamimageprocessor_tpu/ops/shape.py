@@ -13,7 +13,7 @@ contour), ``:339-421`` (approxPolyDP with epsilon auto-tuning).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ TPU redesign highlights:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

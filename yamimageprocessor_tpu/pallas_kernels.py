@@ -15,11 +15,6 @@ fallback; TPU parity is asserted in the benchmark harness).
 """
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
-
-
 def _row_block(h: int, max_rows: int = 512) -> int:
     rows = min(h, max_rows)
     # keep block height a divisor-friendly multiple of 8 where possible

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import base64
 import io as _io
-import tempfile
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path

@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import logging
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -36,10 +36,7 @@ from yamimageprocessor_tpu.pipeline.builders import (
     build_preprocessing_pipeline_from_dict,
     build_segmentation_pipeline_from_dict,
 )
-from yamimageprocessor_tpu.pipeline.cache import (
-    OperationCancelled,
-    PipelineCacheTileUpdate,
-)
+from yamimageprocessor_tpu.pipeline.cache import PipelineCacheTileUpdate
 from yamimageprocessor_tpu.pipeline.step import PipelineStep
 from yamimageprocessor_tpu.ui import ModulePane
 from yamimageprocessor_tpu.ui.preview import PreviewRecord

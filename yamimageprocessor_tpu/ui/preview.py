@@ -9,8 +9,8 @@ monotonic counter.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, List
 
 import numpy as np
 

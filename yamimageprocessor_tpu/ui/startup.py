@@ -8,7 +8,7 @@ persistence live here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Sequence
+from typing import List
 
 from yamimageprocessor_tpu.ops.schema import Stage
 

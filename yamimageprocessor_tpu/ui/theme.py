@@ -6,7 +6,7 @@ uses them directly), and a ShortcutRegistry with a grouped summary tree.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 #: dark high-contrast palette (role -> hex), mirroring the reference's

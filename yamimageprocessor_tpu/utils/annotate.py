@@ -8,7 +8,7 @@ exports.  Semantics follow the cv2 calls cited per function.
 """
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
