@@ -133,14 +133,18 @@ def watershed_j(image, markers):
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     lab0 = jnp.where(border, _WSHED, lab0)
 
-    # per-direction edge costs, hoisted (constant across the flood)
-    c_up = jnp.full((h, w), big, jnp.int32).at[1:, :].set(dyc)
-    c_dn = jnp.full((h, w), big, jnp.int32).at[:-1, :].set(dyc)
-    c_lf = jnp.full((h, w), big, jnp.int32).at[:, 1:].set(dxc)
-    c_rt = jnp.full((h, w), big, jnp.int32).at[:, :-1].set(dxc)
+    # per-direction edge costs, hoisted (constant across the flood);
+    # uint16 keeps the four cost streams at half bandwidth (levels <= 255,
+    # sentinel 0xFFFF marks frame-edge "no neighbor")
+    big16 = jnp.uint16(0xFFFF)
+    c16 = lambda a: a.astype(jnp.uint16)  # noqa: E731
+    c_up = jnp.full((h, w), big16, jnp.uint16).at[1:, :].set(c16(dyc))
+    c_dn = jnp.full((h, w), big16, jnp.uint16).at[:-1, :].set(c16(dyc))
+    c_lf = jnp.full((h, w), big16, jnp.uint16).at[:, 1:].set(c16(dxc))
+    c_rt = jnp.full((h, w), big16, jnp.uint16).at[:, :-1].set(c16(dxc))
     costs = (c_up, c_dn, c_lf, c_rt)
 
-    def sweep(lab, level):
+    def sweep(lab, level16):
         p = jnp.pad(lab, 1, constant_values=0)
         labs = (
             p[:-2, 1:-1],  # up
@@ -149,40 +153,45 @@ def watershed_j(image, markers):
             p[1:-1, 2:],  # right
         )
         unknown = lab == 0
-        trig_cost = jnp.full((h, w), big, jnp.int32)
+        trig_cost = jnp.full((h, w), big16, jnp.uint16)
+        pos_min = jnp.full((h, w), big, jnp.int32)
+        pos_max = jnp.zeros((h, w), jnp.int32)
         for nl, cost in zip(labs, costs):
-            trig_cost = jnp.minimum(
-                trig_cost, jnp.where(nl > 0, cost, big)
-            )
-        trig = unknown & (trig_cost <= level)
-        chosen = jnp.zeros((h, w), jnp.int32)
-        conflict = jnp.zeros((h, w), bool)
-        for nl in labs:
             pos = nl > 0
-            newly = pos & (chosen == 0)
-            conflict = conflict | (pos & (chosen > 0) & (nl != chosen))
-            chosen = jnp.where(newly, nl, chosen)
-        new_val = jnp.where(conflict, jnp.int32(_WSHED), chosen)
+            trig_cost = jnp.minimum(trig_cost, jnp.where(pos, cost, big16))
+            pos_min = jnp.minimum(pos_min, jnp.where(pos, nl, big))
+            pos_max = jnp.maximum(pos_max, nl)  # WSHED/-1 never wins a max>0
+        trig = unknown & (trig_cost <= level16)
+        # conflict iff two distinct positive labels touch the pixel
+        new_val = jnp.where(pos_min != pos_max, jnp.int32(_WSHED), pos_min)
         new_lab = jnp.where(trig, new_val, lab)
-        # next active level: min frontier cost among still-unknown pixels
-        still_unknown = new_lab == 0
-        frontier = jnp.where(still_unknown & (trig_cost < big), trig_cost, big)
-        next_active = jnp.minimum(frontier.min(), 256)
-        return new_lab, jnp.any(trig), next_active
+        return new_lab, trig_cost, jnp.any(trig)
 
     def cond(state):
         _, level = state
-        return level < 256
+        return level < jnp.uint16(256)
 
     def body(state):
         lab, level = state
-        new_lab, changed, next_active = sweep(lab, level)
-        # stall -> jump to the next active level (>= current by construction
-        # of the flood); progress -> stay and keep stabilizing
-        new_level = jnp.where(changed, level, jnp.maximum(next_active, level + 1))
-        return new_lab, new_level.astype(jnp.int32)
+        # several chained sweeps per iteration: the sweep is idempotent at
+        # its fixed point, so extra applications are no-ops — this amortizes
+        # the stall bookkeeping without changing the result
+        changed = jnp.bool_(False)
+        trig_cost = None
+        for _ in range(4):
+            lab, trig_cost, ch = sweep(lab, level)
+            changed = changed | ch
+        still_unknown = lab == 0
+        frontier = jnp.where(still_unknown, trig_cost, big16)
+        next_active = jnp.minimum(frontier.min().astype(jnp.uint32), 256).astype(
+            jnp.uint16
+        )
+        new_level = jnp.where(
+            changed, level, jnp.maximum(next_active, level + jnp.uint16(1))
+        )
+        return lab, new_level
 
-    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.int32(0)))
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.uint16(0)))
     return lab
 
 
