@@ -198,3 +198,33 @@ def test_device_matches_host_for_registry_chain(rng):
     device_out = manager.apply(image)
     host_out = manager.apply_host(image)
     assert (device_out == host_out).all()
+
+
+def test_module_requires_gpu_propagates():
+    """Module-declared capabilities flow into step execution metadata
+    (models tests/test_processing_pipeline_manager_gpu.py:103-121)."""
+
+    from yamimageprocessor_tpu.plugins.module_base import (
+        ModuleBase,
+        ModuleCapabilities,
+        ModuleMetadata,
+        ModuleStage,
+    )
+
+    class AcceleratedModule(ModuleBase):
+        op_identifier = "preprocessing.gamma"
+
+        def _build_metadata(self):
+            return ModuleMetadata(
+                identifier="Accel",
+                title="Accelerated",
+                stage=ModuleStage.PREPROCESSING,
+            )
+
+        def capabilities(self):
+            return ModuleCapabilities(requires_gpu=True)
+
+    step = AcceleratedModule().create_pipeline_step()
+    assert step.execution.requires_gpu is True
+    payload = step.to_dict()
+    assert payload["execution"]["requires_gpu"] is True

@@ -173,14 +173,7 @@ def watershed_j(image, markers):
 
     def body(state):
         lab, level = state
-        # several chained sweeps per iteration: the sweep is idempotent at
-        # its fixed point, so extra applications are no-ops — this amortizes
-        # the stall bookkeeping without changing the result
-        changed = jnp.bool_(False)
-        trig_cost = None
-        for _ in range(4):
-            lab, trig_cost, ch = sweep(lab, level)
-            changed = changed | ch
+        lab, trig_cost, changed = sweep(lab, level)
         still_unknown = lab == 0
         frontier = jnp.where(still_unknown, trig_cost, big16)
         next_active = jnp.minimum(frontier.min().astype(jnp.uint32), 256).astype(
