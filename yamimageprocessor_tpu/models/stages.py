@@ -89,12 +89,11 @@ def _chain_fn(steps: Sequence[PipelineStep], item_shape, dtype):
     """A pure jittable function applying ``steps`` to one frame; dynamic
     params are closed over as constants (fine for a fixed flagship config)."""
 
+    import jax
     import jax.numpy as jnp
 
     plans = []
     shape = tuple(item_shape)
-    import jax
-
     for step in steps:
         static, dyn = step.impl.split_params(step.params, shape)
         dyn_const = {k: np.asarray(v) for k, v in dyn.items()}
