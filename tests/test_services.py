@@ -231,3 +231,19 @@ def test_io_manager_rejects_unknown_format(tmp_path):
     io = IOManager(sandboxed=False)
     with pytest.raises(Exception):
         io.save_image(tmp_path / "x.xyz", np.zeros((4, 4), np.uint8))
+
+
+def test_io_manager_sandbox_enforced(tmp_path):
+    io = IOManager()  # sandboxed=True by default
+    ps.configure_allowed_roots([tmp_path / "inside"])
+    with pytest.raises(ps.PathValidationError):
+        io.save_image("/tmp/definitely_outside_root.png", np.zeros((4, 4), np.uint8))
+    ok = io.save_image(tmp_path / "inside" / "a.png", np.zeros((4, 4), np.uint8))
+    assert ok.exists()
+
+
+def test_version_metadata():
+    import yamimageprocessor_tpu
+
+    parts = yamimageprocessor_tpu.__version__.split(".")
+    assert len(parts) == 3 and all(p.isdigit() for p in parts)

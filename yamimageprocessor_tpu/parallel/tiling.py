@@ -29,6 +29,7 @@ TileBox = Tuple[int, int, int, int]  # (left, top, right, bottom)
 
 _DEFAULT_TILE: Tuple[int, int] = (512, 512)
 _INFLIGHT = 3
+_TILE_BATCH = 8
 
 
 def iter_tile_boxes(
@@ -136,24 +137,45 @@ def stream_steps_tiled(
     from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
     halo = chain_halo(enabled)
-    inflight: List[Tuple[TileBox, TileBox, Any]] = []
+    inflight: List[Tuple[List[Tuple[TileBox, TileBox]], Any]] = []
 
     def drain(limit: int) -> None:
         while len(inflight) > limit:
-            box, ebox, dev = inflight.pop(0)
+            entries, dev = inflight.pop(0)
             out = np.asarray(dev)
-            left, top, right, bottom = box
-            eleft, etop, _, _ = ebox
-            y0, x0 = top - etop, left - eleft
-            on_tile(box, out[y0 : y0 + (bottom - top), x0 : x0 + (right - left), ...])
+            for idx, (box, ebox) in enumerate(entries):
+                left, top, right, bottom = box
+                eleft, etop, _, _ = ebox
+                y0, x0 = top - etop, left - eleft
+                tile = out[idx][
+                    y0 : y0 + (bottom - top), x0 : x0 + (right - left), ...
+                ]
+                on_tile(box, tile)
 
+    def dispatch(batch: List[Tuple[TileBox, TileBox, np.ndarray]]) -> None:
+        regions = np.stack([r for _, _, r in batch])
+        chain = get_compiled_chain(
+            enabled, regions.shape, regions.dtype, batch=len(batch)
+        )
+        dev = chain.run(jnp.asarray(regions), enabled)[-1]
+        inflight.append(([(b, e) for b, e, _ in batch], dev))
+        drain(_INFLIGHT)
+
+    # consecutive same-shape tiles execute as one fused batch: fewer,
+    # larger device dispatches (important when launch latency is high)
+    pending: List[Tuple[TileBox, TileBox, np.ndarray]] = []
     for box in iter_tile_boxes(width, height, tsize):
         ebox = _expand_box(box, halo, width, height)
         region = np.asarray(image.read_region(ebox))
-        chain = get_compiled_chain(enabled, region.shape, region.dtype)
-        dev = chain.run(jnp.asarray(region), enabled)[-1]
-        inflight.append((box, ebox, dev))
-        drain(_INFLIGHT)
+        if pending and pending[0][2].shape != region.shape:
+            dispatch(pending)
+            pending = []
+        pending.append((box, ebox, region))
+        if len(pending) >= _TILE_BATCH:
+            dispatch(pending)
+            pending = []
+    if pending:
+        dispatch(pending)
     drain(0)
 
 
