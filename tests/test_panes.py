@@ -211,3 +211,18 @@ def test_upstream_resolution(core, controller, rng):
     controller.run_enabled_stages(img)
     upstream = seg.resolve_upstream_image()
     assert upstream is not None
+
+
+def test_mass_export_data(core, controller, tmp_path, rng):
+    from yamimageprocessor_tpu.io import image_io
+
+    pane = ExtractionPane(core, controller)
+    pane.set_order(["Histogram"])
+    src = tmp_path / "exp_in"
+    src.mkdir()
+    for i in range(2):
+        img = rng.integers(0, 200, (32, 32), dtype=np.uint8)
+        image_io.save_image(src / f"s{i}.png", img)
+    written = pane.mass_export_data(src, tmp_path / "exp_out")
+    assert set(written) == {"s0.png", "s1.png"}
+    assert (tmp_path / "exp_out" / "s0_histogram.csv").exists()

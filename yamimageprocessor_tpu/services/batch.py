@@ -181,9 +181,42 @@ def export_all_extraction_data(
     return written
 
 
+def mass_export_data(
+    input_folder: Path,
+    output_folder: Path,
+    steps: Sequence[PipelineStep],
+    *,
+    progress: Optional[Callable[[int], None]] = None,
+    cancel_event: Optional[threading.Event] = None,
+) -> Dict[str, List[Path]]:
+    """Per-file extraction CSV export over a folder
+    (``ui/extraction.py:1676-1814`` mass_export_data flow)."""
+
+    files = enumerate_images(input_folder)
+    output_folder = Path(output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+    written: Dict[str, List[Path]] = {}
+    total = max(len(files), 1)
+    for index, path in enumerate(files):
+        if cancel_event is not None and cancel_event.is_set():
+            raise OperationCancelled()
+        try:
+            image = _load_dense(path)
+        except Exception:
+            LOGGER.exception("Failed to load %s", path)
+            continue
+        written[path.name] = export_all_extraction_data(
+            image, steps, output_folder, base_name=path.stem
+        )
+        if progress is not None:
+            progress(int((index + 1) * 100 / total))
+    return written
+
+
 __all__ = [
     "SUPPORTED_FORMATS",
     "enumerate_images",
     "process_folder",
     "export_all_extraction_data",
+    "mass_export_data",
 ]

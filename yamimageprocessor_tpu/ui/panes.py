@@ -427,6 +427,18 @@ class ExtractionPane(_OrderedStagePane):
             **kwargs,
         )
 
+    def mass_export_data(
+        self, input_folder: Path, output_folder: Path, **kwargs
+    ):
+        from yamimageprocessor_tpu.services.batch import mass_export_data
+
+        return mass_export_data(
+            input_folder,
+            output_folder,
+            list(self.controller.stage_steps(self.stage)),
+            **kwargs,
+        )
+
 
 __all__ = [
     "PreprocessingPane",
