@@ -115,6 +115,61 @@ def test_lazy_raster_tiles(tmp_path, bgr, monkeypatch):
     record.close()
 
 
+def _synthetic_volume(width, height, channels):
+    # smooth float field so tile reassembly errors are visible
+    # (models tests/test_io_manager_streaming.py:30-37 fixtures)
+    y = np.linspace(0, 1, height, dtype=np.float32)[:, None]
+    x = np.linspace(0, 1, width, dtype=np.float32)[None, :]
+    base = (np.sin(x * np.pi) + np.cos(y * np.pi)) * 128.0
+    if channels == 1:
+        return base.astype(np.float32)
+    return np.stack([base + 5.0 * i for i in range(channels)], axis=-1).astype(
+        np.float32
+    )
+
+
+def test_lazy_memmap_streams_without_materialising(tmp_path):
+    """Full tile sweep over a lazy float32 volume never densifies the record
+    and covers every pixel exactly once (tests/test_io_manager_streaming.py:40-67)."""
+    array = _synthetic_volume(width=960, height=640, channels=3)
+    path = tmp_path / "large.npy"
+    np.save(path, array, allow_pickle=False)
+
+    record = image_io.load_image(path, lazy=True)
+    assert isinstance(record, TiledImageRecord)
+
+    tile_size = (160, 128)  # (width, height), non-divisible remainders on both axes
+    assembled = np.zeros_like(array)
+    tiles_seen = 0
+    for box, tile in record.iter_tiles(tile_size):
+        left, top, right, bottom = box
+        np.testing.assert_array_equal(tile, array[top:bottom, left:right])
+        assembled[top:bottom, left:right] = tile
+        tiles_seen += 1
+    np.testing.assert_array_equal(assembled, array)
+    assert tiles_seen == ((640 + 127) // 128) * ((960 + 159) // 160)
+    assert record._cached is None  # streaming never materialized the frame
+    record.close()
+
+
+def test_lazy_memmap_read_region_matches_source(tmp_path):
+    """Arbitrary interior regions of a 2-channel lazy record match the array
+    (tests/test_io_manager_streaming.py:70-92)."""
+    array = _synthetic_volume(width=512, height=768, channels=2)
+    path = tmp_path / "regions.npy"
+    np.save(path, array, allow_pickle=False)
+
+    record = image_io.load_image(path, lazy=True)
+    assert isinstance(record, TiledImageRecord)
+    for box in [(0, 0, 128, 128), (100, 50, 260, 190), (256, 512, 512, 768)]:
+        left, top, right, bottom = box
+        np.testing.assert_array_equal(
+            record.read_region(box), array[top:bottom, left:right]
+        )
+    assert record._cached is None
+    record.close()
+
+
 def test_device_executor(rng):
     from yamimageprocessor_tpu.ops.schema import Stage
     from yamimageprocessor_tpu.parallel.executor import DeviceExecutor
