@@ -3,8 +3,10 @@ baseline, undo/redo via cache signatures, mass processing (models the
 reference's pytest-qt pane suites, SURVEY §4)."""
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
+from concurrent.futures import CancelledError
 from pathlib import Path
 
 import numpy as np
@@ -147,6 +149,76 @@ def test_cancellation_restores_baseline(pane, core, frame):
     task.future.result(timeout=10)
     assert task.status.value == "cancelled"
     assert previews and (previews[-1] == baseline).all()
+
+
+def test_cancel_after_commit_restores_committed(pane, core, frame):
+    """A cancelled preview restores the most recent COMMITTED frame, not the
+    load-time original (tests/test_preprocessing_progressive.py:119-146
+    restores the previous preview state)."""
+    path, img = frame
+    pane.load_image(path)
+    _wait(pane.update_preview())
+    pane.commit_current()
+    committed = pane.committed.copy()
+    assert not (committed == img).all()  # alpha=1.5 actually changed pixels
+
+    pane.controller.manager.update_step_params("BrightnessContrast", {"alpha": 2.5})
+    previews = []
+    pane.on_preview = previews.append
+    core.thread_controller.pause()
+    task = pane.update_preview()
+    task.cancel()
+    core.thread_controller.resume()
+    with contextlib.suppress(CancelledError):
+        task.future.result(timeout=10)
+    assert task.status.value == "cancelled"
+    assert previews and (previews[-1] == committed).all()
+
+
+def test_mid_stream_cancel_drops_stale_tiles(pane, core, tmp_path, rng):
+    """Cancelling while tiles are streaming: no tile pasted after the restore
+    (tests/test_preprocessing_progressive.py:119-146 clears progressive
+    state; our generation bump makes in-flight tiles stale)."""
+    big = rng.integers(0, 255, (96, 128), dtype=np.uint8)
+    path = tmp_path / "big.npy"
+    image_io.save_image(path, big)
+    pane.load_image(path, lazy=True)
+
+    events = []
+    pane.on_tile = lambda update: events.append(("tile", update.box))
+    pane.on_preview = lambda image: events.append(("preview", None))
+
+    task = pane.update_preview()
+    # fire the cancel as soon as the first tile lands
+    seen = threading.Event()
+    original_on_tile = pane.on_tile
+
+    def cancel_on_first(update):
+        original_on_tile(update)
+        if not seen.is_set():
+            seen.set()
+            task.cancel()
+
+    pane.on_tile = cancel_on_first
+    task.future.result(timeout=30)
+    time.sleep(0.05)
+    if seen.is_set() and task.status.value == "cancelled":
+        tile_events = [e for e in events if e[0] == "tile"]
+        assert tile_events, "expected at least one streamed tile"
+        # the restore is the final preview emission
+        assert events[-1][0] == "preview"
+    # else: run finished before the first tile was observed — nothing to check
+
+
+def test_dense_preview_does_not_stream(pane, frame):
+    """Small dense frames run as one fused device call with zero incremental
+    tiles (tests/test_preprocessing_progressive.py:149-162)."""
+    path, _ = frame
+    tiles = []
+    pane.on_tile = tiles.append
+    pane.load_image(path)
+    _wait(pane.update_preview())
+    assert tiles == []
 
 
 def test_mass_preprocess(pane, core, tmp_path, rng):

@@ -204,6 +204,18 @@ class ThreadController:
                 _current_task.task = None
 
         task.future = self._executor.submit(runner)
+
+        def _executor_cancelled(fut: Future) -> None:
+            # future.cancel() succeeded before the runner dequeued: the runner
+            # never runs, so surface the cancellation here (otherwise the task
+            # stays PENDING and on_cancelled never fires)
+            if fut.cancelled():
+                task.status = TaskStatus.CANCELLED
+                self._notify("cancelled", task)
+                if on_cancelled is not None:
+                    on_cancelled()
+
+        task.future.add_done_callback(_executor_cancelled)
         return task
 
     # reference-convenience aliases

@@ -50,8 +50,9 @@ TileBox = Tuple[int, int, int, int]
 TileSize = Tuple[int, int]
 
 
-class OperationCancelled(RuntimeError):
-    """Raised when a cooperative cancel event interrupts a computation."""
+# the SAME class the ThreadController runner catches — a distinct local class
+# here would turn a cooperative cancel into a FAILED task upstream
+from yamimageprocessor_tpu.core.threading import OperationCancelled
 
 
 def normalise_value(value: Any) -> Any:

@@ -66,6 +66,9 @@ class _ProgressivePreviewState:
         return self.buffer
 
     def cancel(self) -> Optional[np.ndarray]:
+        # bump the generation so any tile still in flight when the restore
+        # lands is recognised as stale and dropped
+        self.generation += 1
         self.buffer = None
         return self.baseline
 
@@ -237,6 +240,10 @@ class PreprocessingPane(_BasePane):
             self._redo.clear()
         self.committed = self.current_preview.copy()
         self.committed_signature = final_sig
+        # a later cancelled preview restores the newly committed frame, not
+        # the load-time original (``ui/preprocessing.py:1990-2007`` restores
+        # the previous preview state on cancellation)
+        self._progressive.baseline = self.committed.copy()
         from yamimageprocessor_tpu.core.persistence import AutosavePayload
 
         self.app_core.autosave.mark_dirty(
@@ -261,6 +268,7 @@ class PreprocessingPane(_BasePane):
             self._redo.append(self.committed_signature)
         self.committed = image
         self.committed_signature = signature
+        self._progressive.baseline = image.copy()
         self._emit_preview(image)
         return True
 
@@ -275,6 +283,7 @@ class PreprocessingPane(_BasePane):
             self._undo.append(self.committed_signature)
         self.committed = image
         self.committed_signature = signature
+        self._progressive.baseline = image.copy()
         self._emit_preview(image)
         return True
 
