@@ -221,3 +221,71 @@ def test_shortcut_registry():
     summary = registry.summary()
     assert "File" in summary and "Navigation" in summary
     assert all(v.startswith("#") for v in HIGH_CONTRAST_PALETTE.values())
+
+
+def test_launcher_lifecycle(tmp_path):
+    """Entry layer (core/application_launcher.py:153-263 semantics):
+    bootstrap -> selection -> pane construction -> run -> shutdown."""
+    from yamimageprocessor_tpu.core.app_core import AppConfiguration
+    from yamimageprocessor_tpu.core.launcher import (
+        default_stage_specifications,
+        launch_stage_applications,
+    )
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.ui.startup import StartupSelection
+
+    specs = default_stage_specifications()
+    assert [s.stage for s in specs] == [
+        Stage.PREPROCESSING,
+        Stage.SEGMENTATION,
+        Stage.ANALYSIS,
+    ]
+    assert [s.enabled_by_default for s in specs] == [True, True, False]
+
+    def cfg():
+        return AppConfiguration(
+            allowed_roots=(tmp_path,),
+            session_root=tmp_path / "session",
+            settings_path=tmp_path / "settings.json",
+            max_workers=1,
+        )
+
+    seen = {}
+
+    def run(session):
+        seen["stages"] = sorted(s.value for s in session.panes)
+        seen["controller"] = session.controller is not None
+        # panes share the one controller (cross-stage coordination)
+        assert all(
+            p.controller is session.controller for p in session.panes.values()
+        )
+        assert session.pane(Stage.PREPROCESSING) is not None
+        return 7
+
+    code = launch_stage_applications(
+        specs,
+        configuration_factory=cfg,
+        selection_provider=lambda core, sp: StartupSelection(
+            stages=[Stage.PREPROCESSING, Stage.SEGMENTATION], diagnostics=True
+        ),
+        run=run,
+    )
+    assert code == 7
+    assert seen["stages"] == ["preprocessing", "segmentation"]
+    assert seen["controller"]
+    # diagnostics choice persisted through the launcher
+    assert (tmp_path / "settings.json").exists()
+
+    # empty selection => clean exit 0, no run() call
+    code = launch_stage_applications(
+        specs,
+        configuration_factory=cfg,
+        selection_provider=lambda core, sp: None,
+        run=lambda session: 99,
+    )
+    assert code == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        launch_stage_applications([])

@@ -165,6 +165,64 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_launch(args) -> int:
+    """Entry layer (``segmentation25.py`` / ``core/application_launcher.py``):
+    bootstrap the shell session from the persisted stage selection and
+    report what came up."""
+
+    from yamimageprocessor_tpu.core.launcher import (
+        default_stage_specifications,
+        launch_stage_applications,
+    )
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.ui.startup import StartupSelection
+
+    def selection(core, specs):
+        if args.stages:
+            stages = []
+            for tok in args.stages.split(","):
+                tok = tok.strip()
+                if not tok:
+                    continue
+                try:
+                    stages.append(Stage(tok))
+                except ValueError:
+                    valid = ", ".join(s.value for s in Stage)
+                    raise SystemExit(
+                        f"error: unknown stage '{tok}' (choose from: {valid})"
+                    )
+            return StartupSelection(
+                stages=stages, diagnostics=bool(args.diagnostics)
+            )
+        return StartupSelection.load(core.settings)
+
+    def run(session) -> int:
+        for stage, pane in session.panes.items():
+            print(f"stage ready: {stage.value} ({type(pane).__name__})")
+        for message in session.status_messages:
+            print(message)
+        return 0
+
+    from yamimageprocessor_tpu.core.app_core import AppConfiguration
+
+    def configuration():
+        return AppConfiguration(
+            allowed_roots=(Path.cwd(),),
+            diagnostics=bool(args.diagnostics),
+            settings_path=(
+                Path(args.settings).expanduser() if args.settings else None
+            ),
+        )
+
+    return launch_stage_applications(
+        default_stage_specifications(),
+        configuration_factory=configuration,
+        selection_provider=selection,
+        run=run,
+        initial_diagnostics=bool(args.diagnostics),
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="yamtpu", description="TPU-native microscopy image processing"
@@ -203,6 +261,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_settings)
 
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("launch", help="bootstrap the stage shell session")
+    p.add_argument(
+        "--stages",
+        default=None,
+        help="comma list overriding the persisted startup selection",
+    )
+    p.set_defaults(fn=cmd_launch)
     return parser
 
 
