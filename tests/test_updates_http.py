@@ -85,3 +85,30 @@ def test_async_update_check(tmp_path, update_server):
         core.acknowledge_update()
     finally:
         core.shutdown()
+
+
+def test_format_update_notice():
+    """Headless update notice (yam_processor/ui/update_dialog.py UpdateDialog)."""
+    from yamimageprocessor_tpu.core.updates import (
+        UpdateAction,
+        UpdateMetadata,
+        format_update_notice,
+    )
+
+    meta = UpdateMetadata(
+        version="2.1.0",
+        url="https://example.invalid/pkg",
+        changelog="- faster watershed\n- CLAHE fixes",
+        mandatory=True,
+    )
+    text = format_update_notice(meta)
+    assert text.splitlines()[0] == "Update 2.1.0 available"
+    assert "mandatory" in text
+    assert "- faster watershed" in text
+    assert text.rstrip().endswith("https://example.invalid/pkg")
+    # minimal metadata renders just the title
+    assert format_update_notice(UpdateMetadata(version="3.0")) == (
+        "Update 3.0 available"
+    )
+    assert UpdateAction.ACKNOWLEDGE.value == "acknowledge"
+    assert UpdateAction.INSTALL.value == "install"

@@ -349,6 +349,9 @@ class AppCore:
     def _handle_update_available(self, metadata: UpdateMetadata) -> None:
         if self.thread_controller is not None:
             self.thread_controller.pause()
+        from yamimageprocessor_tpu.core.updates import format_update_notice
+
+        LOGGER.info("%s", format_update_notice(metadata))
         self.update_dispatcher.dispatch(metadata)
 
     def acknowledge_update(self) -> None:

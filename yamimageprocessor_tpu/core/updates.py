@@ -13,6 +13,7 @@ import logging
 import threading
 import urllib.request
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any, Callable, Dict, List, Optional
 
 LOGGER = logging.getLogger(__name__)
@@ -101,6 +102,32 @@ class UpdateDispatcher:
             self._pending = None
 
 
+class UpdateAction(str, Enum):
+    """User choices on an update notice
+    (``yam_processor/ui/update_dialog.py:17-21``)."""
+
+    ACKNOWLEDGE = "acknowledge"
+    INSTALL = "install"
+
+
+def format_update_notice(metadata: UpdateMetadata) -> str:
+    """Render the release-notes notice a shell presents for an available
+    update (headless ``yam_processor/ui/update_dialog.py`` UpdateDialog:
+    title with version, changelog body, download URL, and whether the
+    update is mandatory)."""
+
+    lines = [f"Update {metadata.version} available"]
+    if metadata.mandatory:
+        lines.append("This update is mandatory.")
+    if metadata.changelog:
+        lines.append("")
+        lines.append(metadata.changelog.strip())
+    if metadata.url:
+        lines.append("")
+        lines.append(f"Download: {metadata.url}")
+    return "\n".join(lines)
+
+
 def fetch_update_metadata(
     endpoint: str, *, timeout: float = UPDATE_TIMEOUT_SECONDS
 ) -> Optional[UpdateMetadata]:
@@ -117,6 +144,8 @@ def fetch_update_metadata(
 
 __all__ = [
     "UpdateMetadata",
+    "UpdateAction",
+    "format_update_notice",
     "UpdateDispatcher",
     "fetch_update_metadata",
     "UPDATE_TIMEOUT_SECONDS",
