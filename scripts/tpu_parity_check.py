@@ -76,6 +76,20 @@ def main() -> int:
         if diff > tol:
             failures += 1
         print(f"{status} {identifier:44s} maxdiff={diff} (tol {tol}) {params}")
+
+    # odd shapes exercise pallas block overhang (histogram padding) and the
+    # correctly-rounded f32 255/remainder divide in the equalization LUT
+    histeq = get_impl("preprocessing.histogram_equalization")
+    for shape in ((7, 13), (1000, 1003), (129, 255)):
+        image = rng.integers(0, 256, shape, dtype=np.uint8)
+        golden = histeq.golden_fn(image)
+        device = np.asarray(histeq.device_fn(jnp.asarray(image), {}))
+        diff = np.abs(device.astype(np.int64) - golden.astype(np.int64)).max()
+        status = "OK " if diff == 0 else "FAIL"
+        if diff:
+            failures += 1
+        print(f"{status} histeq odd shape {shape}: maxdiff={diff} (tol 0)")
+
     print("PARITY:", "PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 

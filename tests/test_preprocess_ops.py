@@ -300,3 +300,18 @@ def test_clahe_color(bgr):
     device = run_device("preprocessing.clahe", bgr, clip_limit=2.0, grid_size=4)
     # f32/f64 blend-rounding ties: <=1 LSB on the equalized Y channel
     assert np.abs(device.astype(int) - out.astype(int)).max() <= 1
+
+
+def test_histeq_odd_shapes_bit_exact(rng):
+    """Odd shapes exercise the pallas histogram block-overhang padding and
+    the correctly-rounded f32 scale divide (device == golden everywhere)."""
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    impl = get_impl("preprocessing.histogram_equalization")
+    for shape in [(7, 13), (129, 255), (100, 103, 3), (3, 5)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        golden = impl.golden_fn(img)
+        device = np.asarray(impl.device_fn(jnp.asarray(img), {}))
+        assert (device == golden).all(), shape

@@ -211,8 +211,32 @@ def median_j(img, ksize: int):
         lo_of_maxs = mn(mn(maxs[0], maxs[1]), maxs[2])
         return sort3(hi_of_mins, med_of_meds, lo_of_maxs)[1].astype(img.dtype)
 
-    windows = jnp.sort(jnp.stack(taps, axis=0), axis=0)
-    return windows[(ksize * ksize) // 2].astype(img.dtype)
+    # forgetful selection (the standard GPU median-filter construction):
+    # hold a window of W = (n+3)/2 taps, push its min to the front and max
+    # to the back with compare-exchanges, drop both (provably not the
+    # median), append one fresh tap, repeat with a window one smaller each
+    # round.  For n=25 that is 165 exchanges vs 300 for a full sort.
+    mn, mx = jnp.minimum, jnp.maximum
+    n = len(taps)
+
+    def drop_min_max(window):
+        w = list(window)
+        for i in range(1, len(w)):
+            lo, hi = mn(w[0], w[i]), mx(w[0], w[i])
+            w[0], w[i] = lo, hi
+        for i in range(1, len(w) - 1):
+            lo, hi = mn(w[i], w[-1]), mx(w[i], w[-1])
+            w[i], w[-1] = lo, hi
+        return w[1:-1]
+
+    width = (n + 3) // 2
+    window = taps[:width]
+    for tap in taps[width:]:
+        window = drop_min_max(window)
+        window.append(tap)
+    window = drop_min_max(window)
+    assert len(window) == 1
+    return window[0].astype(img.dtype)
 
 
 def bilateral_j(img, space_w_flat, color_lut, *, offsets, ksize: int):

@@ -113,6 +113,51 @@ def histeq_np(image: np.ndarray) -> np.ndarray:
     return C.ycrcb_to_bgr_np(ycrcb)
 
 
+def _exact_div255_f32(b):
+    """Correctly-rounded (IEEE RN) float32 ``255 / b`` for positive b.
+
+    TPU's hardware divide can be 1 ulp off IEEE; the host (and cv2) divide
+    is correctly rounded, and a 1-ulp difference in the equalization scale
+    flips ``rint`` ties in the LUT.  Pick the candidate around the hardware
+    quotient whose exact residual ``255 - q*b`` (Dekker two-product, exact
+    in f32 adds/muls) is smallest, tie-breaking to the even mantissa —
+    which is the definition of the correctly rounded quotient.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.float32(255.0)
+    b = b.astype(jnp.float32)
+    q0 = a / b
+    bits = jax.lax.bitcast_convert_type(q0, jnp.int32)
+
+    def residual(q):
+        # Dekker two-product: q*b = p + e exactly
+        C = jnp.float32(4097.0)  # 2**12 + 1 splitter for f32
+        pq = q * C
+        hq = pq - (pq - q)
+        tq = q - hq
+        pb = b * C
+        hb = pb - (pb - b)
+        tb = b - hb
+        p = q * b
+        e = ((hq * hb - p) + hq * tb + tq * hb) + tq * tb
+        return (a - p) - e  # a - p is exact by Sterbenz (p within [a/2, 2a])
+
+    offsets = jnp.arange(-2, 3, dtype=jnp.int32)
+    cands = jax.lax.bitcast_convert_type(bits + offsets, jnp.float32)
+    res = jax.vmap(residual)(cands)
+    absres = jnp.abs(res)
+    best = jnp.min(absres)
+    # ties (exact half-ulp residue on both neighbours) resolve to the even
+    # mantissa, matching IEEE round-to-nearest-even
+    is_best = absres == best
+    even = ((bits + offsets) & 1) == 0
+    score = is_best.astype(jnp.int32) * 2 + (is_best & even).astype(jnp.int32)
+    return cands[jnp.argmax(score)]
+
+
 def _equalize_gray_j(gray):
     import jax.numpy as jnp
 
@@ -125,7 +170,7 @@ def _equalize_gray_j(gray):
     cumsum = jnp.cumsum(hist)
     remainder = total - hist[first]
     safe_rem = jnp.maximum(remainder, 1)
-    scale = jnp.float32(255.0) / safe_rem.astype(jnp.float32)
+    scale = _exact_div255_f32(safe_rem.astype(jnp.float32))
     lut_f = (cumsum - cumsum[first]).astype(jnp.float32) * scale
     lut = jnp.clip(jnp.rint(lut_f), 0, 255).astype(jnp.uint8)
     idx = jnp.arange(256)
@@ -162,7 +207,7 @@ def _equalize_gray_sharded_j(gray, axis: str):
     cumsum = jnp.cumsum(hist)
     remainder = total - hist[first]
     safe_rem = jnp.maximum(remainder, 1)
-    scale = jnp.float32(255.0) / safe_rem.astype(jnp.float32)
+    scale = _exact_div255_f32(safe_rem.astype(jnp.float32))
     lut_f = (cumsum - cumsum[first]).astype(jnp.float32) * scale
     lut = jnp.clip(jnp.rint(lut_f), 0, 255).astype(jnp.uint8)
     idx = jnp.arange(256)
