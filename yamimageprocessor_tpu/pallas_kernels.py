@@ -143,6 +143,136 @@ def histogram256(img):
     return hist
 
 
+def lut_apply_batch(imgs, luts):
+    """Per-frame LUT apply in ONE pallas call: ``imgs`` (N, ...) uint8,
+    ``luts`` (N, 256).  The whole (N,256) table sits in SMEM and each grid
+    step reads its frame's row — this replaces the sequential per-frame
+    ``lax.map`` (8 dispatches for an 8-frame batch) with a single batched
+    sweep, which is what makes hist-equalization cheap inside vmapped
+    chains."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
+        return jax.vmap(apply_lut_j)(
+            imgs.reshape(imgs.shape[0], -1), luts
+        ).reshape(imgs.shape)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = imgs.shape[0]
+    flat = imgs.reshape(n, -1)
+    pad = (-flat.shape[1]) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    work = flat.reshape(n, -1, 1024)
+    h, w = work.shape[1], work.shape[2]
+    rows = _row_block(h, max_rows=256)
+
+    def kernel(img_ref, lut_ref, out_ref):
+        frame = pl.program_id(0)
+        x = img_ref[0].astype(jnp.int32)
+
+        def body(k, acc):
+            return jnp.where(x == k, lut_ref[frame, k], acc)
+
+        init = jnp.full(x.shape, lut_ref[frame, 0], dtype=jnp.int32)
+        out_ref[0] = jax.lax.fori_loop(1, 256, body, init).astype(jnp.uint8)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        grid=(n, pl.cdiv(h, rows)),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, w), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, w), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
+        ),
+    )(work, luts.astype(jnp.int32))
+    flat_out = out.reshape(n, -1)
+    if pad:
+        flat_out = flat_out[:, : flat.shape[1] - pad]
+    return flat_out.reshape(imgs.shape)
+
+
+def histogram256_batch(imgs):
+    """(N, ...) uint8 → (N, 256) int32 histograms in ONE pallas call.
+
+    Per-frame rows of the SMEM output accumulate across the sequential
+    row-block grid; frames are padded to a whole number of blocks so the
+    kernel never counts out-of-bounds lanes (same overhang rule as
+    :func:`histogram256`)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+        return jax.vmap(histogram256_j)(imgs.reshape(imgs.shape[0], -1))
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = imgs.shape[0]
+    flat = imgs.reshape(n, -1)
+    pad = (-flat.shape[1]) % 1024
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    work = flat.reshape(n, -1, 1024)
+    h, w = work.shape[1], work.shape[2]
+    rows = _row_block(h, max_rows=256)
+    if h % rows:
+        extra = rows - (h % rows)
+        work = jnp.pad(work, ((0, 0), (0, extra), (0, 0)))
+        pad += extra * w
+        h += extra
+
+    def kernel(img_ref, out_ref):
+        frame = pl.program_id(0)
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            def clear(k, _):
+                out_ref[frame, k] = 0
+                return 0
+
+            jax.lax.fori_loop(0, 256, clear, 0)
+
+        x = img_ref[0].astype(jnp.int32)
+
+        def body(k, _):
+            count = jnp.sum((x == k).astype(jnp.int32))
+            out_ref[frame, k] = out_ref[frame, k] + count
+            return 0
+
+        jax.lax.fori_loop(0, 256, body, 0)
+
+    counts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 256), jnp.int32),
+        grid=(n, h // rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, w), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )(work)
+    if pad:
+        counts = counts.at[:, 0].add(-pad)
+    return counts
+
+
 _batchable_histogram = None
 
 
@@ -163,9 +293,12 @@ def histogram256_batchable():
 
     @hist.def_vmap
     def _rule(axis_size, in_batched, img):  # noqa: ANN001
+        # measured on v5e: within-jit lax.map of the single-frame kernel
+        # pipelines to 8.0 GPix/s vs 7.6 for the (N,256)-SMEM batched kernel
+        # (2-D SMEM accumulation is slightly slower); keep the map here and
+        # the batched kernel for callers that want one dispatch
         del axis_size
-        out = jax.lax.map(histogram256, img)
-        return out, True
+        return jax.lax.map(histogram256, img), True
 
     _batchable_histogram = hist
     return hist
@@ -197,8 +330,7 @@ def lut_apply_batchable():
             img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
         if not lut_b:
             lut = jnp.broadcast_to(lut[None], (axis_size,) + lut.shape)
-        out = jax.lax.map(lambda args: lut_apply(*args), (img, lut))
-        return out, True
+        return lut_apply_batch(img, lut), True
 
     _batchable_lut = apply
     return apply
@@ -206,7 +338,9 @@ def lut_apply_batchable():
 
 __all__ = [
     "lut_apply",
+    "lut_apply_batch",
     "histogram256",
+    "histogram256_batch",
     "histogram256_batchable",
     "lut_apply_batchable",
 ]
