@@ -315,3 +315,23 @@ def test_histeq_odd_shapes_bit_exact(rng):
         golden = impl.golden_fn(img)
         device = np.asarray(impl.device_fn(jnp.asarray(img), {}))
         assert (device == golden).all(), shape
+
+
+def test_batched_pallas_wrappers_cpu_fallback(rng):
+    """lut_apply_batch / histogram256_batch route to the XLA fallbacks off-TPU
+    and stay bit-exact with numpy for per-frame tables."""
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pallas_kernels import (
+        histogram256_batch,
+        lut_apply_batch,
+    )
+
+    imgs = rng.integers(0, 256, (3, 37, 53), dtype=np.uint8)
+    luts = rng.integers(0, 256, (3, 256), dtype=np.uint8)
+    out = np.asarray(lut_apply_batch(jnp.asarray(imgs), jnp.asarray(luts)))
+    ref = np.stack([luts[i][imgs[i]] for i in range(3)])
+    assert (out == ref).all()
+    h = np.asarray(histogram256_batch(jnp.asarray(imgs)))
+    href = np.stack([np.bincount(imgs[i].ravel(), minlength=256) for i in range(3)])
+    assert (h == href).all()
