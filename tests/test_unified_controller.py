@@ -127,3 +127,36 @@ def test_coerce_pipeline_image():
 
     assert coerce_pipeline_image(None) is None
     assert (coerce_pipeline_image(Lazy()) == 1).all()
+
+
+def test_manager_mid_stage_mutation_invalidates_downstream_only(controller):
+    """Mutating through the MANAGER (not the controller API) still invalidates
+    the right stages via the change-listener hookup
+    (tests/ui/test_unified_pipeline_controller.py:251-293)."""
+    img = np.zeros((8, 8), np.uint8)
+    controller.run_enabled_stages(img)
+    for stage in (Stage.PREPROCESSING, Stage.SEGMENTATION, Stage.ANALYSIS):
+        assert controller.cached_stage_result(stage) is not None
+
+    controller.manager.toggle_step("seg-a")
+
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is not None
+    assert controller.cached_stage_result(Stage.SEGMENTATION) is None
+    assert controller.cached_stage_result(Stage.ANALYSIS) is None
+    seg_steps = controller.stage_steps(Stage.SEGMENTATION)
+    assert seg_steps and not seg_steps[0].enabled
+
+    # a re-run repopulates the invalidated stages
+    controller.run_enabled_stages(img)
+    assert controller.cached_stage_result(Stage.SEGMENTATION) is not None
+    assert controller.cached_stage_result(Stage.ANALYSIS) is not None
+
+
+def test_manager_upstream_mutation_invalidates_all(controller):
+    """Toggling a preprocessing step clears every stage's cached result
+    (tests/ui/test_unified_pipeline_controller.py:295-330)."""
+    img = np.ones((4, 4), np.uint8)
+    controller.run_enabled_stages(img)
+    controller.manager.toggle_step("pre-a")
+    for stage in (Stage.PREPROCESSING, Stage.SEGMENTATION, Stage.ANALYSIS):
+        assert controller.cached_stage_result(stage) is None
