@@ -247,3 +247,23 @@ def test_version_metadata():
 
     parts = yamimageprocessor_tpu.__version__.split(".")
     assert len(parts) == 3 and all(p.isdigit() for p in parts)
+
+
+def test_sidecar_schema_and_redaction(tmp_path, rng):
+    """The metadata sidecar carries the schema tag and a REDACTED path —
+    absolute filesystem roots never leak into exported metadata
+    (io_manager sidecar contract, core/io_manager.py:349-387)."""
+    import json
+
+    io = IOManager()
+    ps.configure_allowed_roots([tmp_path])
+    frame = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+    target = io.save_image(tmp_path / "cells.png", frame, metadata={"k": 1})
+    sidecar = json.loads((tmp_path / "cells.png.json").read_text())
+    assert sidecar["schema"] == "yam.image-metadata.v1"
+    assert str(tmp_path) not in json.dumps(sidecar)  # no absolute roots
+    assert sidecar["image"]["path"].startswith("[root")
+    assert sidecar["image"]["shape"] == [8, 8]
+    # sidecar metadata rides back on load
+    record = io.load_image(target, lazy=False)
+    assert record.metadata.get("k") == 1
