@@ -97,3 +97,24 @@ def test_sanitize_parameters_drops_unknown():
     op = op_by_method(Stage.PREPROCESSING, "brightness_contrast")
     clean = op.sanitize_parameters({"alpha": "2.0", "beta": 999, "bogus": 1})
     assert clean == {"alpha": 2.0, "beta": 255.0}
+
+
+def test_every_schema_op_has_a_registered_impl():
+    """No schema entry may silently lack an implementation: every op in the
+    inventory resolves to an OpImpl with a golden twin, and device-capable
+    ops expose a device_fn (completeness guard for SURVEY §2.2)."""
+    from yamimageprocessor_tpu.ops.registry import get_impl
+    from yamimageprocessor_tpu.ops.schema import (
+        EXTRACTION_OPS,
+        PREPROCESS_OPS,
+        SEGMENTATION_OPS,
+    )
+
+    for op in (*PREPROCESS_OPS, *SEGMENTATION_OPS, *EXTRACTION_OPS):
+        impl = get_impl(op.identifier)
+        assert impl is not None, op.identifier
+        assert impl.golden_fn is not None, op.identifier
+        assert impl.jittable is False or impl.device_fn is not None, op.identifier
+    for op in EXTRACTION_OPS:
+        impl = get_impl(op.identifier)
+        assert impl.data_fn is not None, f"{op.identifier} missing CSV twin"
