@@ -23,7 +23,18 @@ def main() -> None:
 
     from yamimageprocessor_tpu.models.stages import flagship_forward
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+        jax.devices()
+    except RuntimeError:
+        # accelerator backend unavailable (e.g. the relay is down): report a
+        # CPU number rather than crashing — the metric name records which
+        # backend actually ran
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     # frame batch sized for a single chip's HBM; uint8 in, uint8 out
     batch, side = (8, 2048) if backend != "cpu" else (2, 512)
     steps = 3
