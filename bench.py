@@ -18,21 +18,40 @@ import numpy as np
 BASELINE_MPIX_STEPS_S = 2.07  # reference CI lower bound
 
 
+def _accelerator_available(timeout: float = 120.0) -> bool:
+    """True iff ``jax.devices()`` completes in a fresh process within
+    ``timeout`` seconds (a wedged relay hangs instead of raising)."""
+
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return probe.returncode == 0
+
+
 def main() -> None:
     import jax
 
     from yamimageprocessor_tpu.models.stages import flagship_forward
 
+    # A downed accelerator relay makes backend init HANG rather than raise,
+    # so probe it in a subprocess with a hard timeout before committing this
+    # process to it; fall back to CPU (the metric name records which backend
+    # actually ran).  Backend init is lazy, so flipping the platform before
+    # the first devices() call is safe.
+    if not _accelerator_available():
+        jax.config.update("jax_platforms", "cpu")
     try:
         backend = jax.default_backend()
         jax.devices()
     except RuntimeError:
-        # accelerator backend unavailable (e.g. the relay is down): report a
-        # CPU number rather than crashing — the metric name records which
-        # backend actually ran
-        import os
-
-        os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         backend = jax.default_backend()
     # frame batch sized for a single chip's HBM; uint8 in, uint8 out
