@@ -211,7 +211,7 @@ def test_mean_shift_small(bgr):
 
 def test_graph_cuts(bgr):
     impl = get_impl("segmentation.graph_cuts")
-    assert impl.jittable is False
+    assert impl.jittable is True  # device ICM path since the grabcut_j rework
     out = impl.golden_fn(bgr)
     assert out.shape == bgr.shape[:2]
     assert set(np.unique(out)).issubset({0, 255})
@@ -226,3 +226,36 @@ def test_active_contour(gray):
     # the drawn green contour must be present
     green = (out[..., 1] == 255) & (out[..., 0] == 0) & (out[..., 2] == 0)
     assert green.sum() > 50
+
+
+def test_grabcut_device_structural_parity(rng):
+    """Device GrabCut (weighted fixed-shape color fit + ICM) agrees with the
+    numpy twin structurally; both run the identical update rule."""
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.grabcut import grabcut_j, grabcut_np
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    img = np.full((96, 128, 3), 40, np.uint8)
+    img[30:70, 40:90] = 200
+    img = (
+        (img.astype(np.int16) + rng.integers(-8, 9, img.shape))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    g_np = grabcut_np(img)
+    g_j = np.asarray(jax.jit(grabcut_j)(jnp.asarray(img)))
+    inter = (g_np & g_j).sum()
+    union = (g_np | g_j).sum()
+    assert inter / max(union, 1) > 0.9
+    assert g_j[35:65, 45:85].all()      # blob interior is foreground
+    assert not g_j[:10].any()           # border band is background (rect)
+
+    impl = get_impl("segmentation.graph_cuts")
+    dev = np.asarray(impl.device_fn(jnp.asarray(img), {}))
+    assert set(np.unique(dev)).issubset({0, 255})
+    gold = impl.golden_fn(img)
+    both = ((dev > 0) & (gold > 0)).sum()
+    either = ((dev > 0) | (gold > 0)).sum()
+    assert both / max(either, 1) > 0.9

@@ -125,4 +125,121 @@ def grabcut_mask_image_np(image: np.ndarray, seed: int = 0) -> np.ndarray:
     return out
 
 
-__all__ = ["grabcut_np", "grabcut_mask_image_np"]
+def _fit_color_model_j(pixels, weights, k: int, seed: int):
+    """Device twin of :func:`_fit_color_model_np` on FIXED shapes: a weighted
+    Lloyd over ALL pixels with 0/1 ``weights`` replaces the dynamic-shape
+    subset fit (XLA needs static shapes), so the device fit is semantically
+    equivalent but not bit-identical to the host's subset fit."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.clustering import kmeans_init_uniform
+
+    u = jnp.asarray(kmeans_init_uniform(k, 3, seed, 1)[0])
+    big = jnp.float32(3.4e38)
+    wcol = weights[:, None]
+    lo = jnp.min(jnp.where(wcol > 0, pixels, big), axis=0)
+    hi = jnp.max(jnp.where(wcol > 0, pixels, -big), axis=0)
+    centers = lo + u * (hi - lo)
+    total = jnp.maximum(weights.sum(), 1.0)
+
+    for _ in range(8):
+        d2 = ((pixels[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = jnp.argmin(d2, axis=1)
+        oh = (assign[:, None] == jnp.arange(k)[None]).astype(jnp.float32) * wcol
+        counts = oh.sum(0)
+        sums = oh.T @ pixels
+        centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers
+        )
+
+    d2 = ((pixels[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assign = jnp.argmin(d2, axis=1)
+    oh = (assign[:, None] == jnp.arange(k)[None]).astype(jnp.float32) * wcol
+    counts = oh.sum(0)
+    wk = counts / total + 1e-6
+    sq = (oh * d2).sum(0)
+    var = jnp.maximum(jnp.where(counts > 0, sq / jnp.maximum(counts, 1.0), 1.0), 1.0)
+    return centers, wk, var
+
+
+def _neg_log_likelihood_j(img, model):
+    import jax.numpy as jnp
+
+    centers, weights, var = model
+    d2 = ((img[:, :, None, :] - centers[None, None, :, :]) ** 2).sum(-1)
+    log_comp = (
+        jnp.log(weights)[None, None, :]
+        - 1.5 * jnp.log(var)[None, None, :]
+        - d2 / (2.0 * var)[None, None, :]
+    )
+    m = log_comp.max(-1)
+    return -(m + jnp.log(jnp.exp(log_comp - m[..., None]).sum(-1)))
+
+
+def grabcut_j(image, iterations: int = _OUTER, seed: int = 0):
+    """Jittable foreground mask (bool), same outer structure and ICM update
+    rule as :func:`grabcut_np`; the color models are the weighted fixed-shape
+    fit above, so masks agree structurally rather than bit-for-bit."""
+
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    img = image.astype(jnp.float32)
+    if img.ndim == 2:
+        img = jnp.repeat(img[..., None], 3, axis=-1)
+    yy, xx = jnp.mgrid[:h, :w]
+    rect = (yy >= 10) & (yy < h - 10) & (xx >= 10) & (xx < w - 10)
+    fg = rect
+
+    d_r = ((img[:, 1:] - img[:, :-1]) ** 2).sum(-1)
+    d_d = ((img[1:, :] - img[:-1, :]) ** 2).sum(-1)
+    beta = 1.0 / jnp.maximum(
+        2.0 * jnp.concatenate([d_r.reshape(-1), d_d.reshape(-1)]).mean(), 1e-6
+    )
+    w_r = _GAMMA * jnp.exp(-beta * d_r)
+    w_d = _GAMMA * jnp.exp(-beta * d_d)
+    pixels = img.reshape(-1, 3)
+    parity_cells = ((yy + xx) % 2).astype(jnp.int32)
+
+    for it in range(iterations):
+        wfg = fg.reshape(-1).astype(jnp.float32)
+        fg_model = _fit_color_model_j(pixels, wfg, _K, seed + it)
+        bg_model = _fit_color_model_j(pixels, 1.0 - wfg, _K, seed + it + 100)
+        d_fg = _neg_log_likelihood_j(img, fg_model)
+        d_bg = _neg_log_likelihood_j(img, bg_model)
+
+        for _sweep in range(_ICM_SWEEPS):
+            for parity in (0, 1):
+                cells = parity_cells == parity
+                fgf = fg.astype(jnp.float32)
+                pull_fg = jnp.zeros((h, w), jnp.float32)
+                pull_bg = jnp.zeros((h, w), jnp.float32)
+                pull_fg = pull_fg.at[:, :-1].add(w_r * fgf[:, 1:])
+                pull_bg = pull_bg.at[:, :-1].add(w_r * (1 - fgf[:, 1:]))
+                pull_fg = pull_fg.at[:, 1:].add(w_r * fgf[:, :-1])
+                pull_bg = pull_bg.at[:, 1:].add(w_r * (1 - fgf[:, :-1]))
+                pull_fg = pull_fg.at[:-1, :].add(w_d * fgf[1:, :])
+                pull_bg = pull_bg.at[:-1, :].add(w_d * (1 - fgf[1:, :]))
+                pull_fg = pull_fg.at[1:, :].add(w_d * fgf[:-1, :])
+                pull_bg = pull_bg.at[1:, :].add(w_d * (1 - fgf[:-1, :]))
+                new_fg = (d_fg - pull_fg) < (d_bg - pull_bg)
+                fg = jnp.where(cells, new_fg & rect, fg)
+    return fg & rect
+
+
+def grabcut_mask_image_j(image, seed: int = 0):
+    import jax.numpy as jnp
+
+    fg = grabcut_j(image, seed=seed)
+    if image.ndim == 2:
+        return jnp.where(fg, image, 0)
+    return jnp.where(fg[..., None], image, 0)
+
+
+__all__ = [
+    "grabcut_np",
+    "grabcut_mask_image_np",
+    "grabcut_j",
+    "grabcut_mask_image_j",
+]

@@ -537,7 +537,7 @@ register_op(
 
 
 # ---------------------------------------------------------------------------
-# Graph cuts (core/segmentation.py:237-247) — host slow-path op
+# Graph cuts (core/segmentation.py:237-247)
 
 
 def graph_cuts_np(image):
@@ -546,11 +546,23 @@ def graph_cuts_np(image):
     return T.binary_np(gray, T.otsu_threshold_np(gray))
 
 
+def graph_cuts_j(image, dyn):
+    """Device path: same composition (grabcut mask -> gray -> Otsu binary);
+    the GrabCut color models are a weighted fixed-shape fit, so this agrees
+    with the golden structurally ("sem" parity class, like the clustering
+    ops), not bit-for-bit."""
+
+    result = GC.grabcut_mask_image_j(image)
+    gray = C.bgr_to_gray_j(result) if result.ndim == 3 else result
+    return T.binary_j(gray, T.otsu_threshold_j(gray))
+
+
 register_op(
     "segmentation.graph_cuts",
     golden_fn=graph_cuts_np,
-    device_fn=None,
-    jittable=False,
+    device_fn=graph_cuts_j,
+    split=lambda params: ({}, {}),
+    jittable=True,
     global_stats=True,
 )
 
