@@ -80,3 +80,31 @@ def test_cli_process_without_order_errors(workspace):
         "--stages", "segmentation",
     ])
     assert rc == 2
+
+
+def test_cli_launch(workspace, capsys):
+    """`yamtpu launch` bootstraps the selected stage panes and persists the
+    selection (core/application_launcher.py entry semantics)."""
+    tmp_path, settings = workspace
+    rc = main(["--settings", str(settings), "launch",
+               "--stages", "preprocessing,analysis"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage ready: preprocessing (PreprocessingPane)" in out
+    assert "stage ready: analysis (ExtractionPane)" in out
+    assert "segmentation" not in out
+    # selection persisted: a bare launch honors it
+    rc = main(["--settings", str(settings), "launch"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage ready: preprocessing" in out and "analysis" in out
+    assert "segmentation" not in out
+
+
+def test_cli_launch_unknown_stage(workspace, capsys):
+    tmp_path, settings = workspace
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--settings", str(settings), "launch", "--stages", "nope"])
+    assert "unknown stage 'nope'" in str(exc.value)
