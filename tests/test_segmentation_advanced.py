@@ -220,7 +220,7 @@ def test_graph_cuts(bgr):
 def test_active_contour(gray):
     bgr = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
     impl = get_impl("segmentation.active_contour")
-    assert impl.jittable is False
+    assert impl.jittable is True  # device snake path since the rework
     out = impl.golden_fn(bgr, iterations=50, alpha=0.015, beta=10.0, gamma=0.001)
     assert out.shape == bgr.shape
     # the drawn green contour must be present
@@ -259,3 +259,34 @@ def test_grabcut_device_structural_parity(rng):
     both = ((dev > 0) & (gold > 0)).sum()
     either = ((dev > 0) | (gold > 0)).sum()
     assert both / max(either, 1) > 0.9
+
+
+def test_active_contour_device_overlay(rng):
+    """Device snake (lax.scan evolution + capsule polyline) matches the host
+    contour within 2 px in both directions; non-overlay pixels untouched."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    img = np.full((96, 128, 3), 20, np.uint8)
+    yy, xx = np.mgrid[:96, :128]
+    img[((yy - 48) ** 2 + (xx - 64) ** 2) <= 30 * 30] = 200
+    img = (
+        (img.astype(np.int16) + rng.integers(-5, 6, img.shape))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    impl = get_impl("segmentation.active_contour")
+    assert impl.jittable is True  # device path since the snake rework
+    params = {"iterations": 50, "alpha": 0.015, "beta": 10.0, "gamma": 0.001}
+    gold = impl.golden_fn(img, **params)
+    static, dyn = impl.split_params(params, img.shape)
+    dev = np.asarray(
+        impl.device_fn(
+            jnp.asarray(img), {k: jnp.asarray(v) for k, v in dyn.items()}, **static
+        )
+    )
+    g_mask = (gold[..., 1] == 255) & (gold[..., 0] == 0)
+    d_mask = (dev[..., 1] == 255) & (dev[..., 0] == 0)
+    assert (d_mask & ndimage.binary_dilation(g_mask, iterations=2)).sum() == d_mask.sum()
+    assert (g_mask & ndimage.binary_dilation(d_mask, iterations=2)).sum() == g_mask.sum()
+    assert (dev[~d_mask] == img[~d_mask]).all()

@@ -587,11 +587,43 @@ def active_contour_np(
     return out
 
 
+def _active_contour_split(params: Mapping[str, Any], shape=None):
+    iterations = int(params.get("iterations", 250))
+    alpha = float(params.get("alpha", 0.015))
+    beta = float(params.get("beta", 10.0))
+    gamma = float(params.get("gamma", 0.001))
+    # the pentadiagonal inverse depends only on the (dynamic) energy params,
+    # so it travels as data: retuning alpha/beta/gamma never recompiles
+    inv = SN.snake_matrix_inv(SN.N_POINTS, alpha, beta, gamma)
+    return (
+        {"iterations": iterations},
+        {"inv": inv, "gamma": np.float32(gamma)},
+    )
+
+
+def active_contour_j(image, dyn, *, iterations: int = 250):
+    """Device path: energy + snake evolution (lax.scan) + capsule-distance
+    polyline overlay, all jittable.  The overlay rasterization differs from
+    the host Bresenham stamp at corner pixels ("sem" class); the evolved
+    contour itself follows the identical update rule."""
+
+    import jax.numpy as jnp
+
+    gray = C.bgr_to_gray_j(image) if image.ndim == 3 else image
+    energy = SN.energy_j(gray)
+    gy, gx = SN._gradient_j(energy)
+    init = jnp.asarray(SN.initial_circle(gray.shape))
+    pts = SN.evolve_snake_j(gx, gy, dyn["inv"], init, int(iterations), dyn["gamma"])
+    pts = jnp.rint(pts)
+    return SN.draw_closed_polyline_j(image, pts, (0, 255, 0), radius=1.0)
+
+
 register_op(
     "segmentation.active_contour",
     golden_fn=active_contour_np,
-    device_fn=None,
-    jittable=False,
+    device_fn=active_contour_j,
+    split=_active_contour_split,
+    jittable=True,
     global_stats=True,
 )
 

@@ -145,10 +145,79 @@ def evolve_snake_j(energy_gx, energy_gy, inv, init_pts, iterations: int, gamma: 
     return jnp.stack([x, y], axis=1)
 
 
+def _gradient_j(field):
+    """jnp twin of ``np.gradient``: central differences in the interior,
+    one-sided at the edges. Returns (gy, gx)."""
+
+    import jax.numpy as jnp
+
+    def axis_grad(f, axis):
+        f = jnp.moveaxis(f, axis, 0)
+        interior = (f[2:] - f[:-2]) * 0.5
+        first = (f[1] - f[0])[None]
+        last = (f[-1] - f[-2])[None]
+        return jnp.moveaxis(jnp.concatenate([first, interior, last]), 0, axis)
+
+    return axis_grad(field, 0), axis_grad(field, 1)
+
+
+def energy_j(gray):
+    """Device twin of :func:`_energy_np` (sigma=3 smoothed |grad|)."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import filters as F
+
+    ks = K.gaussian_ksize_for_sigma(3.0, depth_is_8u=False)
+    taps = jnp.asarray(K.gaussian_taps(ks, 3.0).astype(np.float32))
+    img = gray.astype(jnp.float32) / 255.0
+    sm = F.sep_filter_j(img, taps, taps, border="replicate")
+    gy, gx = _gradient_j(sm)
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def draw_closed_polyline_j(image, pts, color, radius: float = 1.0):
+    """Rasterize a closed polyline on device: a pixel is painted when its
+    distance to the nearest segment is within ``radius`` (a capsule per
+    segment).  Semantically equivalent to the host Bresenham stamp — not
+    bit-identical at anti-diagonal corners (documented "sem" class)."""
+
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    a = pts
+    b = jnp.roll(pts, -1, axis=0)  # closed: segment i = pts[i] -> pts[i+1]
+    yy, xx = jnp.mgrid[:h, :w]
+    p = jnp.stack([xx, yy], axis=-1).astype(jnp.float32)  # (h, w, 2)
+    ab = b - a  # (n, 2)
+    denom = jnp.maximum((ab * ab).sum(-1), 1e-6)  # (n,)
+
+    def seg_d2(carry, idx):
+        ap = p - a[idx]
+        t = jnp.clip((ap * ab[idx]).sum(-1) / denom[idx], 0.0, 1.0)
+        closest = a[idx] + t[..., None] * ab[idx]
+        d2 = ((p - closest) ** 2).sum(-1)
+        return jnp.minimum(carry, d2), None
+
+    import jax
+
+    init = jnp.full((h, w), jnp.float32(1e30))
+    min_d2, _ = jax.lax.scan(seg_d2, init, jnp.arange(pts.shape[0]))
+    hit = min_d2 <= radius * radius
+    if image.ndim == 2:
+        # grayscale target: the host's _as_color uses mean(color)//3
+        gray_col = jnp.asarray(sum(int(c) for c in color) // 3, dtype=image.dtype)
+        return jnp.where(hit, gray_col, image)
+    col = jnp.asarray(color[: image.shape[2]], dtype=image.dtype)
+    return jnp.where(hit[..., None], col[None, None, :], image)
+
+
 __all__ = [
     "snake_matrix_inv",
     "initial_circle",
     "evolve_snake_np",
     "evolve_snake_j",
+    "energy_j",
+    "draw_closed_polyline_j",
     "N_POINTS",
 ]
