@@ -47,6 +47,13 @@ CASES = [
 
 
 def main() -> int:
+    import bench
+
+    if not bench._accelerator_available():
+        print("accelerator backend unavailable (relay down?) — aborting "
+              "instead of hanging; re-run when jax.devices() responds")
+        return 2
+
     import jax
     import jax.numpy as jnp
 
