@@ -1,6 +1,9 @@
 """Benchmark: fused preprocess-chain throughput on the available device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Supporting measurements (hardware parity audit, segmentation fps,
+extraction throughput, gigapixel streaming) go to stderr as extra JSON
+lines so the scoreboard line stays unambiguous.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its only budget
 is the CI streaming test — 3.1 MPix through 2 steps in <3 s on CPU, i.e.
@@ -11,6 +14,8 @@ report MPix*steps/s of the 3-step denoise->equalize->contrast chain over a
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -18,75 +23,94 @@ import numpy as np
 BASELINE_MPIX_STEPS_S = 2.07  # reference CI lower bound
 
 
-def _accelerator_available(timeout: float = 120.0) -> bool:
-    """True iff ``jax.devices()`` completes in a fresh process within
-    ``timeout`` seconds (a wedged relay hangs instead of raising)."""
+def _stderr(payload: dict) -> None:
+    print(json.dumps(payload), file=sys.stderr, flush=True)
+
+
+def accelerator_available(
+    total_budget: float = 420.0, probe_timeout: float = 150.0
+) -> bool:
+    """True iff ``jax.devices()`` completes in a fresh process.
+
+    A wedged accelerator relay HANGS instead of raising, and it wedges
+    TRANSIENTLY — a single short probe surrenders to CPU when a second
+    attempt minutes later would have succeeded (that is exactly what burned
+    round 1's scoreboard).  So: keep probing in fresh subprocesses, with
+    pauses, until the budget is spent.
+    """
 
     import subprocess
-    import sys
 
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout,
-            capture_output=True,
+    deadline = time.monotonic() + total_budget
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(probe_timeout, max(remaining, 30.0)),
+                capture_output=True,
+            )
+            if probe.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        _stderr(
+            {
+                "extra": "accelerator_probe_retry",
+                "attempt": attempt,
+                "budget_left_s": round(max(deadline - time.monotonic(), 0.0), 1),
+            }
         )
-    except subprocess.TimeoutExpired:
-        return False
-    return probe.returncode == 0
+        time.sleep(min(15.0, max(deadline - time.monotonic(), 0.0)))
 
 
-def main() -> None:
+# kept under the old name for callers of the round-1 API
+_accelerator_available = accelerator_available
+
+
+def _checksum_loop(chain_fn, dyn, frames, iters: int):
+    """Jitted fori_loop running ``iters`` chained passes with a data
+    dependency, returning only a scalar checksum: defeats async-dispatch
+    elision and host<->device transfer skew (the relay can report
+    block_until_ready before execution finishes)."""
+
     import jax
-
-    from yamimageprocessor_tpu.models.stages import flagship_forward
-
-    # A downed accelerator relay makes backend init HANG rather than raise,
-    # so probe it in a subprocess with a hard timeout before committing this
-    # process to it; fall back to CPU (the metric name records which backend
-    # actually ran).  Backend init is lazy, so flipping the platform before
-    # the first devices() call is safe.
-    if not _accelerator_available():
-        jax.config.update("jax_platforms", "cpu")
-    try:
-        backend = jax.default_backend()
-        jax.devices()
-    except RuntimeError:
-        jax.config.update("jax_platforms", "cpu")
-        backend = jax.default_backend()
-    # frame batch sized for a single chip's HBM; uint8 in, uint8 out
-    batch, side = (8, 2048) if backend != "cpu" else (2, 512)
-    steps = 3
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (batch, side, side), dtype=np.uint8)
-
-    # Iterations run INSIDE one executable (lax.fori_loop with a data
-    # dependency) and only a scalar checksum leaves the device: this defeats
-    # both async-dispatch elision and host<->device transfer skew (the axon
-    # relay in this environment reports block_until_ready before execution
-    # finishes, so naive timing loops measure nothing).
-    iters = 50 if backend != "cpu" else 3
+    import jax.numpy as jnp
 
     def looped(x):
         def body(_, v):
-            return flagship_forward(v)
+            return chain_fn(v, dyn)[-1]
 
         out = jax.lax.fori_loop(0, iters, body, x)
-        return jnp_sum_u64(out)
-
-    import jax.numpy as jnp
-
-    def jnp_sum_u64(v):
-        return jnp.sum(v.astype(jnp.uint32))
+        return jnp.sum(out.astype(jnp.uint32))
 
     fn = jax.jit(looped)
     device_frames = jax.device_put(frames)
     checksum = int(np.asarray(fn(device_frames)))  # compile + warm
-
     start = time.perf_counter()
     checksum = int(np.asarray(fn(device_frames)))
     elapsed = time.perf_counter() - start
     assert checksum >= 0
+    return elapsed
+
+
+def _headline(backend: str) -> None:
+    from yamimageprocessor_tpu.models.stages import flagship_chain
+
+    # frame batch sized for a single chip's HBM; uint8 in, uint8 out
+    batch, side = (8, 2048) if backend != "cpu" else (2, 512)
+    steps = 3
+    iters = 50 if backend != "cpu" else 3
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (batch, side, side), dtype=np.uint8)
+
+    # the PRODUCTION chain callable (pipeline/compiler.py), not a bench fork
+    chain_fn, dyn = flagship_chain(frames.shape, frames.dtype)
+    elapsed = _checksum_loop(chain_fn, dyn, frames, iters)
 
     mpix = batch * side * side / 1e6
     value = mpix * steps * iters / elapsed
@@ -98,8 +122,177 @@ def main() -> None:
                 "unit": "MPix*steps/s",
                 "vs_baseline": round(value / BASELINE_MPIX_STEPS_S, 2),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def _dense_scene(side: int, seed: int = 3) -> np.ndarray:
+    """Deterministic dense multi-cell scene (disk grid + noise) so the
+    watershed fps number measures the same flood work every round."""
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((side, side), np.uint8)
+    yy, xx = np.mgrid[:side, :side]
+    pitch = 128
+    for cy in range(pitch // 2, side, pitch):
+        for cx in range(pitch // 2, side, pitch):
+            r = 40 + int(rng.integers(0, 12))
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 170 + int(
+                rng.integers(0, 60)
+            )
+    noise = rng.integers(-12, 13, img.shape)
+    return (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+
+
+def _extra_parity() -> None:
+    from yamimageprocessor_tpu.services.parity import run_parity_cases
+
+    passed, total = run_parity_cases()
+    _stderr({"extra": "parity", "passed": passed, "total": total})
+
+
+def _extra_segmentation_fps() -> None:
+    """BASELINE config 3: threshold + morphological open/close + watershed,
+    2048^2 frames/s (the judged segmentation metric)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.models.stages import segmentation_steps
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    side = 2048
+    frame = _dense_scene(side)
+    steps = segmentation_steps(watershed=True)
+    chain = get_compiled_chain(steps, frame.shape, frame.dtype)
+    fn, dyn = chain.pure_callable()
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+
+    dev = jax.device_put(frame)
+    int(np.asarray(run(dev)))  # compile + warm
+    reps = 3
+    start = time.perf_counter()
+    for _ in range(reps):
+        int(np.asarray(run(dev)))
+    elapsed = time.perf_counter() - start
+    _stderr(
+        {
+            "extra": "segmentation_fps_2048",
+            "value": round(reps / elapsed, 3),
+            "unit": "frames/s",
+            "config": "otsu+open+close+watershed @2048^2 dense scene",
+        }
+    )
+
+
+def _extra_extraction() -> None:
+    """BASELINE config 4: per-region shape/intensity features over labeled
+    masks (region_properties data path)."""
+
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    side = 1024
+    frame = _dense_scene(side)
+    bgr = np.repeat(frame[..., None], 3, axis=-1)
+    impl = get_impl("extraction.region_properties")
+    df = impl.data_fn(bgr)  # warm any device path
+    reps = 3
+    start = time.perf_counter()
+    for _ in range(reps):
+        df = impl.data_fn(bgr)
+    elapsed = time.perf_counter() - start
+    mpix = side * side / 1e6
+    _stderr(
+        {
+            "extra": "extraction_region_properties",
+            "value": round(reps * mpix / elapsed, 3),
+            "unit": "MPix/s",
+            "regions": int(len(df)),
+        }
+    )
+
+
+def _extra_gigapixel() -> None:
+    """BASELINE config 5: tiled streaming throughput (host<->HBM pipeline);
+    synthetic in-memory tiled source so the number isolates the runtime."""
+
+    from yamimageprocessor_tpu.models.stages import preprocess_steps
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    side = 8192
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, (side, side), dtype=np.uint8)
+
+    class _Source:
+        shape = data.shape
+        tile_size = (2048, 2048)
+
+        def infer_shape(self):
+            return data.shape
+
+        def read_region(self, box):
+            left, top, right, bottom = box
+            return data[top:bottom, left:right]
+
+    total = 0
+
+    def on_tile(box, tile):
+        nonlocal total
+        total += tile.size
+
+    steps = preprocess_steps()
+    stream_steps_tiled(steps, _Source(), on_tile)  # warm compile
+    total = 0
+    start = time.perf_counter()
+    stream_steps_tiled(steps, _Source(), on_tile)
+    elapsed = time.perf_counter() - start
+    _stderr(
+        {
+            "extra": "gigapixel_streaming",
+            "value": round(total / 1e9 / elapsed, 4),
+            "unit": "GPix/s",
+            "config": f"{side}^2 uint8, 3-step chain incl. hist-eq, tile 2048^2",
+        }
+    )
+
+
+def main() -> None:
+    import jax
+
+    # A downed accelerator relay makes backend init HANG rather than raise,
+    # so probe it in a subprocess (with retries — it wedges transiently)
+    # before committing this process to it; fall back to CPU only when the
+    # probe budget is exhausted.  Backend init is lazy, so flipping the
+    # platform before the first devices() call is safe.
+    if not accelerator_available():
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        backend = jax.default_backend()
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+    backend = "cpu" if backend == "cpu" else "tpu"
+
+    # headline FIRST: the scoreboard line must land even if an extra fails
+    _headline(backend)
+
+    if os.environ.get("YAM_BENCH_QUICK") or backend == "cpu":
+        return
+    for name, extra in (
+        ("parity", _extra_parity),
+        ("segmentation_fps", _extra_segmentation_fps),
+        ("extraction", _extra_extraction),
+        ("gigapixel", _extra_gigapixel),
+    ):
+        try:
+            extra()
+        except Exception as exc:  # noqa: BLE001 — extras must never kill the run
+            _stderr({"extra": name, "error": f"{type(exc).__name__}: {exc}"})
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ chain (denoise -> equalize -> contrast), the segmentation chain
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 
@@ -85,36 +85,17 @@ def full_pipeline_steps() -> List[PipelineStep]:
     return preprocess_steps() + segmentation_steps(watershed=False)
 
 
-def _chain_fn(steps: Sequence[PipelineStep], item_shape, dtype):
-    """A pure jittable function applying ``steps`` to one frame; dynamic
-    params are closed over as constants (fine for a fixed flagship config)."""
+def flagship_chain(batch_shape, dtype=np.uint8):
+    """(fn, dyn_list) for the flagship preprocess chain at ``batch_shape``
+    (N, H, W): the PRODUCTION compiled-chain callable with its dynamic
+    parameter inputs, via :func:`pipeline.compiler.get_compiled_chain` —
+    bench and ``flagship_forward`` run the same code the pipeline runs."""
 
-    import jax
-    import jax.numpy as jnp
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
-    plans = []
-    shape = tuple(item_shape)
-    for step in steps:
-        static, dyn = step.impl.split_params(step.params, shape)
-        dyn_const = {k: np.asarray(v) for k, v in dyn.items()}
-        plans.append((step.impl.device_fn, static, dyn_const))
-        spec = jax.eval_shape(
-            lambda img, _fn=step.impl.device_fn, _d=dyn_const, _s=static: _fn(
-                img, {k: jnp.asarray(v) for k, v in _d.items()}, **_s
-            ),
-            jax.ShapeDtypeStruct(shape, dtype),
-        )
-        shape = spec.shape
-        dtype = spec.dtype
-
-    def forward(img):
-        cur = img
-        for fn, static, dyn in plans:
-            dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
-            cur = fn(cur, dyn_j, **static)
-        return cur
-
-    return forward
+    steps = preprocess_steps()
+    chain = get_compiled_chain(steps, tuple(batch_shape), dtype, batch=batch_shape[0])
+    return chain.pure_callable()
 
 
 def flagship_forward(images):
@@ -123,17 +104,14 @@ def flagship_forward(images):
     ``images``: (N, H, W) uint8 frames -> (N, H, W) uint8.
     """
 
-    import jax
-
-    steps = preprocess_steps()
-    item_shape = tuple(images.shape[1:])
-    single = _chain_fn(steps, item_shape, np.uint8)
-    return jax.vmap(single)(images)
+    fn, dyn = flagship_chain(images.shape, images.dtype)
+    return fn(images, dyn)[-1]
 
 
 __all__ = [
     "preprocess_steps",
     "segmentation_steps",
     "full_pipeline_steps",
+    "flagship_chain",
     "flagship_forward",
 ]

@@ -238,6 +238,27 @@ class CompiledChain:
         outs = self.run(image, steps)
         return np.asarray(outs[-1]) if outs else np.asarray(image)
 
+    def pure_callable(self):
+        """(fn, dyn_list) for an all-device chain: ``fn(images, dyn_list)``
+        is the UNJITTED traced function (one output per step) and
+        ``dyn_list`` the host-derived dynamic inputs.  This is how harnesses
+        (bench, ``flagship_forward``) embed the production chain inside their
+        own jit/fori_loop scopes without re-deriving per-step plans — the
+        benched code IS the pipeline code.
+        """
+
+        device_plans = [p for p in self.plans if p.kind == "device"]
+        if len(self.plans) != len(device_plans) or len(device_plans) != 1:
+            raise ValueError(
+                "pure_callable requires a single all-device segment "
+                f"(got {[p.kind for p in self.plans]})"
+            )
+        fn = self._segment_fns[0]
+        # the stored jitted fn wraps `single`/`vmap(single)`; expose the
+        # underlying traced callable so callers can embed it in their own jit
+        inner = getattr(fn, "__wrapped__", fn)
+        return inner, self._segment_dyn[0]
+
 
 # ---------------------------------------------------------------------------
 # bounded executable cache
