@@ -144,11 +144,73 @@ def test_cache_tiled_incremental_updates():
     assert (reassembled == result.image).all()
 
 
-def test_global_op_falls_back_to_dense():
+def test_global_stats_chain_streams_without_materializing():
+    """The flagship gigapixel shape: a chain containing a stencil op AND
+    global-statistics ops (hist-eq, Otsu) streams in two passes without ever
+    calling ``to_array`` (reference proof pattern:
+    tests/test_pipeline_streaming_large.py:52-108), and matches the dense
+    result bit-for-bit."""
+
+    array = _frame(96, 128)
+    record = _SyntheticStreamingRecord(array)  # to_array() raises
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        ),
+        PipelineStep(
+            name="histogram_equalization",
+            op_id="preprocessing.histogram_equalization",
+            stage=Stage.PREPROCESSING,
+            params={},
+        ),
+        PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={}),
+    ]
+    manager = PipelineManager(steps)
+    out = manager.apply(image)
+    dense = manager.apply(array)
+    assert (out == dense).all()
+
+
+def test_normalize_streams_without_materializing():
+    array = _frame(64, 96)
+    record = _SyntheticStreamingRecord(array)
+    image = TiledPipelineImage(record, tile_size=(32, 32))
+    steps = [
+        PipelineStep(
+            name="IntensityNormalization",
+            op_id="preprocessing.normalize",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 10.0, "beta": 240.0},
+        )
+    ]
+    manager = PipelineManager(steps)
+    out = manager.apply(image)
+    dense = manager.apply(array)
+    assert (out == dense).all()
+
+
+def test_frame_coupled_op_falls_back_to_dense():
+    """Watershed genuinely needs the frame; the dense fallback remains for
+    frame-coupled ops only."""
+
     array = _frame(64, 64)
     record = _SyntheticStreamingRecord(array, allow_materialize=True)
     image = TiledPipelineImage(record, tile_size=(32, 32))
-    steps = [PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={})]
+    steps = [
+        PipelineStep(
+            name="Watershed",
+            stage=Stage.SEGMENTATION,
+            params={
+                "kernel_size": 3,
+                "opening_iterations": 1,
+                "dilation_iterations": 2,
+                "distance_threshold_factor": 0.7,
+            },
+        )
+    ]
     manager = PipelineManager(steps)
     out = manager.apply(image)
     dense = manager.apply(array)

@@ -158,13 +158,13 @@ def _exact_div255_f32(b):
     return cands[jnp.argmax(score)]
 
 
-def _equalize_gray_j(gray):
+def equalization_lut_j(hist):
+    """cv2.equalizeHist LUT from a (256,) histogram (bit-exact: the 255/rem
+    divide is correctly rounded via :func:`_exact_div255_f32`)."""
+
     import jax.numpy as jnp
 
-    from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
-
-    hist = histogram256_j(gray)
-    total = gray.size
+    total = jnp.sum(hist)
     nonzero = hist > 0
     first = jnp.argmax(nonzero)
     cumsum = jnp.cumsum(hist)
@@ -177,7 +177,13 @@ def _equalize_gray_j(gray):
     lut = jnp.where(idx <= first, jnp.uint8(0), lut)
     # constant image: cv2 leaves it untouched (identity LUT)
     lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
-    return apply_lut_j(gray, lut)
+    return lut
+
+
+def _equalize_gray_j(gray):
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
+
+    return apply_lut_j(gray, equalization_lut_j(histogram256_j(gray)))
 
 
 def histeq_j(img, dyn):
@@ -196,24 +202,11 @@ def _equalize_gray_sharded_j(gray, axis: str):
     histogram + psum over the mesh axis, identical LUT math."""
 
     import jax
-    import jax.numpy as jnp
 
     from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
 
     hist = jax.lax.psum(histogram256_j(gray), axis)
-    total = jnp.sum(hist)
-    nonzero = hist > 0
-    first = jnp.argmax(nonzero)
-    cumsum = jnp.cumsum(hist)
-    remainder = total - hist[first]
-    safe_rem = jnp.maximum(remainder, 1)
-    scale = _exact_div255_f32(safe_rem.astype(jnp.float32))
-    lut_f = (cumsum - cumsum[first]).astype(jnp.float32) * scale
-    lut = jnp.clip(jnp.rint(lut_f), 0, 255).astype(jnp.uint8)
-    idx = jnp.arange(256)
-    lut = jnp.where(idx <= first, jnp.uint8(0), lut)
-    lut = jnp.where(remainder == 0, idx.astype(jnp.uint8), lut)
-    return apply_lut_j(gray, lut)
+    return apply_lut_j(gray, equalization_lut_j(hist))
 
 
 def histeq_sharded_j(img, dyn, *, axis: str):
@@ -225,6 +218,28 @@ def histeq_sharded_j(img, dyn, *, axis: str):
     return C.ycrcb_to_bgr_j(ycrcb)
 
 
+def histeq_tile_stats_j(tile, dyn):
+    """Streaming stats pass: per-tile histogram of the equalized channel."""
+
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+    channel = tile if tile.ndim == 2 else C.bgr_to_ycrcb_j(tile)[..., 0]
+    return histogram256_j(channel)
+
+
+def histeq_apply_stats_j(tile, stats, dyn):
+    """Streaming apply pass: pointwise LUT from the global histogram."""
+
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
+    lut = equalization_lut_j(stats)
+    if tile.ndim == 2:
+        return apply_lut_j(tile, lut)
+    ycrcb = C.bgr_to_ycrcb_j(tile)
+    ycrcb = ycrcb.at[..., 0].set(apply_lut_j(ycrcb[..., 0], lut))
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
 register_op(
     "preprocessing.histogram_equalization",
     golden_fn=histeq_np,
@@ -232,6 +247,9 @@ register_op(
     split=lambda params: ({}, {}),
     global_stats=True,
     sharded_device_fn=histeq_sharded_j,
+    tile_stats_fn=histeq_tile_stats_j,
+    merge_stats_fn=lambda a, b: a + b,
+    apply_stats_fn=histeq_apply_stats_j,
 )
 
 
@@ -328,6 +346,35 @@ def normalize_sharded_j(img, dyn, *, axis: str):
     return out.astype(img.dtype)
 
 
+def normalize_tile_stats_j(tile, dyn):
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [jnp.min(tile).astype(jnp.float32), jnp.max(tile).astype(jnp.float32)]
+    )
+
+
+def normalize_merge_stats_j(a, b):
+    import jax.numpy as jnp
+
+    return jnp.stack([jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])])
+
+
+def normalize_apply_stats_j(tile, stats, dyn):
+    import jax.numpy as jnp
+
+    smin, smax = stats[0], stats[1]
+    lo = jnp.minimum(dyn["alpha"], dyn["beta"])
+    hi = jnp.maximum(dyn["alpha"], dyn["beta"])
+    span = smax - smin
+    scale = jnp.where(span > 0, (hi - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    shift = lo - smin * scale
+    out = tile.astype(jnp.float32) * scale + shift
+    if tile.dtype == np.uint8:
+        return F.to_uint8_j(out)
+    return out.astype(tile.dtype)
+
+
 register_op(
     "preprocessing.normalize",
     golden_fn=normalize_np,
@@ -341,6 +388,9 @@ register_op(
         },
     ),
     global_stats=True,
+    tile_stats_fn=normalize_tile_stats_j,
+    merge_stats_fn=normalize_merge_stats_j,
+    apply_stats_fn=normalize_apply_stats_j,
 )
 
 

@@ -59,6 +59,17 @@ class OpImpl:
     #: computing its global statistics with collectives (psum/pmin/pmax)
     #: over spatially sharded blocks
     sharded_device_fn: Optional[Callable[..., Any]] = None
+    #: streaming decomposition of a global-statistics op, so gigapixel
+    #: chains never materialize (the reference streams EVERY chain,
+    #: ``processing/pipeline_cache.py:416-574``): a stats pass accumulates
+    #: ``tile_stats_fn(tile, dyn, **static)`` contributions with
+    #: ``merge_stats_fn(acc, new)``, then an apply pass runs
+    #: ``apply_stats_fn(tile, stats, dyn, **static)`` pointwise per tile.
+    #: Functions may additionally accept ``box=`` / ``frame_shape=`` kwargs
+    #: (grid-positional stats such as CLAHE).
+    tile_stats_fn: Optional[Callable[..., Any]] = None
+    merge_stats_fn: Optional[Callable[..., Any]] = None
+    apply_stats_fn: Optional[Callable[..., Any]] = None
     #: extraction twin producing tabular records (pandas DataFrame), the
     #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
     data_fn: Optional[Callable[..., Any]] = None
@@ -86,10 +97,35 @@ class OpImpl:
             return self.split(params, shape)
         return self.split(params)
 
+    @property
+    def streamable_global(self) -> bool:
+        """True when this global-stats op has a two-pass tile decomposition."""
+
+        return (
+            self.tile_stats_fn is not None
+            and self.merge_stats_fn is not None
+            and self.apply_stats_fn is not None
+        )
+
     def __call__(self, image: np.ndarray, **params: Any) -> np.ndarray:
         """Host-convenience execution through the golden path."""
 
         return self.golden_fn(image, **params)
+
+
+def call_with_position(fn: Callable[..., Any], *args: Any, box=None, frame_shape=None, **kwargs: Any):
+    """Invoke a streaming-stats fn, forwarding ``box``/``frame_shape`` only
+    when its signature declares them (most ops are position-free)."""
+
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if "box" in params:
+        kwargs["box"] = box
+    if "frame_shape" in params:
+        kwargs["frame_shape"] = frame_shape
+    return fn(*args, **kwargs)
 
 
 _REGISTRY: Dict[str, OpImpl] = {}
@@ -132,4 +168,12 @@ def _ensure_loaded() -> None:
     _loaded = True
 
 
-__all__ = ["OpImpl", "register", "register_op", "get_impl", "all_impls", "Stage"]
+__all__ = [
+    "OpImpl",
+    "register",
+    "register_op",
+    "get_impl",
+    "all_impls",
+    "call_with_position",
+    "Stage",
+]

@@ -80,6 +80,20 @@ def otsu_sharded_j(img, dyn, *, axis: str):
     return T.binary_j(gray, t)
 
 
+def otsu_tile_stats_j(tile, dyn):
+    """Streaming stats pass: per-tile gray histogram."""
+
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+    return histogram256_j(C.bgr_to_gray_j(tile))
+
+
+def otsu_apply_stats_j(tile, stats, dyn):
+    """Streaming apply pass: threshold from the global histogram."""
+
+    return T.binary_j(C.bgr_to_gray_j(tile), T.otsu_from_hist_j(stats))
+
+
 register_op(
     "segmentation.otsu",
     golden_fn=otsu_np,
@@ -87,6 +101,9 @@ register_op(
     split=lambda p: ({}, {}),
     global_stats=True,
     sharded_device_fn=otsu_sharded_j,
+    tile_stats_fn=otsu_tile_stats_j,
+    merge_stats_fn=lambda a, b: a + b,
+    apply_stats_fn=otsu_apply_stats_j,
 )
 
 

@@ -75,6 +75,26 @@ def chain_tileable(steps: Sequence[Any]) -> bool:
     return True
 
 
+def chain_streamable(steps: Sequence[Any]) -> bool:
+    """True when the chain streams without materializing: every enabled step
+    is device-capable and non-reshaping, and every global-statistics step has
+    a two-pass tile decomposition (``OpImpl.tile_stats_fn`` et al.).  Frame-
+    coupled ops (watershed, labeling, clustering) return False and take the
+    dense path."""
+
+    for step in steps:
+        if not getattr(step, "enabled", True):
+            continue
+        impl = getattr(step, "impl", None)
+        if impl is None or not impl.jittable or impl.device_fn is None:
+            return False
+        if impl.reshapes:
+            return False
+        if impl.global_stats and not impl.streamable_global:
+            return False
+    return True
+
+
 def _expand_box(box: TileBox, halo: int, width: int, height: int) -> TileBox:
     left, top, right, bottom = box
     return (
@@ -110,8 +130,17 @@ def stream_steps_tiled(
         return
 
     if not chain_tileable(enabled):
-        # global ops need the full frame: materialize once, run dense,
-        # re-emit in tile order so consumers still stream.
+        if chain_streamable(enabled):
+            # two-pass streaming: global-stats ops accumulate their
+            # statistics over one tile sweep, then apply pointwise on the
+            # next — the frame is NEVER materialized (the reference streams
+            # every chain, processing/pipeline_cache.py:416-574; its tests
+            # prove it by making to_array() raise).
+            _stream_with_stats(enabled, image, on_tile, tsize)
+            return
+        # frame-coupled ops (watershed, labeling, clustering) genuinely
+        # need the full frame: materialize once, run dense, re-emit in
+        # tile order so consumers still stream.
         dense = np.asarray(
             image.to_array() if hasattr(image, "to_array") else image
         )
@@ -179,6 +208,115 @@ def stream_steps_tiled(
     drain(0)
 
 
+def _stream_with_stats(
+    enabled: Sequence[Any],
+    image: Any,
+    on_tile: Callable[[TileBox, np.ndarray], None],
+    tsize: Optional[Tuple[int, int]],
+) -> None:
+    """Multi-pass tile streaming for chains containing global-statistics
+    ops: pass k streams the prefix before global op k and accumulates that
+    op's statistics (histogram / extrema) on device; the final pass streams
+    the whole chain with every global op applied pointwise from its resolved
+    stats.  G global ops cost G+1 sweeps over the source — bounded host
+    memory, no ``to_array``."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.registry import call_with_position
+
+    width, height = _source_dims(image)
+    shape = image.infer_shape() if hasattr(image, "infer_shape") else image.shape
+    frame_shape = tuple(int(s) for s in shape)
+
+    plans: List[Tuple[Any, dict, dict, int]] = []
+    for step in enabled:
+        impl = step.impl
+        static, dyn = impl.split_params(step.params, frame_shape)
+        halo = 0 if impl.global_stats else impl.halo_for(step.params)
+        plans.append((impl, static, dyn, halo))
+    global_indices = [i for i, p in enumerate(plans) if p[0].global_stats]
+
+    def make_runner(upto: int):
+        """Jitted ``fn(region, stats_list) -> region`` over steps[0:upto];
+        stats_list carries resolved stats for the global steps in order."""
+
+        @jax.jit
+        def run(region, stats_list):
+            cur = region
+            si = 0
+            for i in range(upto):
+                impl, static, dyn, _ = plans[i]
+                dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+                if impl.global_stats:
+                    cur = call_with_position(
+                        impl.apply_stats_fn,
+                        cur,
+                        stats_list[si],
+                        dyn_j,
+                        frame_shape=frame_shape,
+                        **static,
+                    )
+                    si += 1
+                else:
+                    cur = impl.device_fn(cur, dyn_j, **static)
+            return cur
+
+        return run
+
+    def prefix_halo(upto: int) -> int:
+        return sum(plans[i][3] for i in range(upto))
+
+    def crop_center(out, box: TileBox, ebox: TileBox):
+        left, top, right, bottom = box
+        eleft, etop, _, _ = ebox
+        y0, x0 = top - etop, left - eleft
+        return out[y0 : y0 + (bottom - top), x0 : x0 + (right - left), ...]
+
+    # ---- stats passes (one per global op, in chain order)
+    resolved: List[Any] = []
+    for g in global_indices:
+        impl_g, static_g, dyn_g, _ = plans[g]
+        runner = make_runner(g)
+        halo = prefix_halo(g)
+        stats_fn = jax.jit(
+            lambda center, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
+                _impl.tile_stats_fn,
+                center,
+                {k: jnp.asarray(v) for k, v in _dy.items()},
+                frame_shape=frame_shape,
+                **_st,
+            )
+        )
+        acc = None
+        for box in iter_tile_boxes(width, height, tsize):
+            ebox = _expand_box(box, halo, width, height)
+            region = jnp.asarray(np.asarray(image.read_region(ebox)))
+            out = runner(region, resolved[: len(resolved)])
+            center = crop_center(out, box, ebox)
+            contrib = stats_fn(center)
+            acc = contrib if acc is None else impl_g.merge_stats_fn(acc, contrib)
+        resolved.append(acc)
+
+    # ---- final apply pass, streaming results in reference tile order
+    runner = make_runner(len(plans))
+    halo = prefix_halo(len(plans))
+    inflight: List[Tuple[TileBox, TileBox, Any]] = []
+
+    def drain(limit: int) -> None:
+        while len(inflight) > limit:
+            box, ebox, dev = inflight.pop(0)
+            on_tile(box, np.asarray(crop_center(np.asarray(dev), box, ebox)))
+
+    for box in iter_tile_boxes(width, height, tsize):
+        ebox = _expand_box(box, halo, width, height)
+        region = jnp.asarray(np.asarray(image.read_region(ebox)))
+        inflight.append((box, ebox, runner(region, resolved)))
+        drain(_INFLIGHT)
+    drain(0)
+
+
 def apply_steps_tiled(
     steps: Sequence[Any],
     image: Any,
@@ -210,6 +348,7 @@ __all__ = [
     "iter_tile_boxes",
     "chain_halo",
     "chain_tileable",
+    "chain_streamable",
     "stream_steps_tiled",
     "apply_steps_tiled",
 ]
