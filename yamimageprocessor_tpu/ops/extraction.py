@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from yamimageprocessor_tpu.ops import color as C
+from yamimageprocessor_tpu.ops import extraction_device as XD
 from yamimageprocessor_tpu.ops import hogf as H
 from yamimageprocessor_tpu.ops import regionprops as RP
 from yamimageprocessor_tpu.ops import shape as SH
@@ -56,9 +57,14 @@ def region_properties_extraction(image: np.ndarray) -> np.ndarray:
 
 
 def region_properties_data(image: np.ndarray) -> pd.DataFrame:
-    labels = label_np(_binary(image) > 0)
-    meas = RP.measure_np(labels)
-    solidity = RP.solidity_np(labels, meas)
+    if XD.use_device_extraction():
+        table = XD.region_table_device(image)
+        meas = table["meas"]
+        solidity = table["solidity"]
+    else:
+        labels = label_np(_binary(image) > 0)
+        meas = RP.measure_np(labels)
+        solidity = RP.solidity_np(labels, meas)
     extent = meas.extent()
     orientation = meas.orientation()
     eccentricity = meas.eccentricity()
@@ -86,14 +92,20 @@ register_op(
     "extraction.region_properties",
     golden_fn=region_properties_extraction,
     data_fn=region_properties_data,
-    jittable=False,
-    global_stats=True,
+    device_fn=XD.region_properties_device_fn,
+    split=lambda p: ({}, {}),
+    jittable=True,
+    global_stats=True,  # labeling is frame-coupled
 )
 
 
 # ---------------------------------------------------------------------------
 # (B) Hu moments (core/extraction.py:90-105)
 def _hu(image: np.ndarray) -> np.ndarray:
+    if XD.use_device_extraction():
+        import jax
+
+        return np.asarray(jax.jit(XD.hu_features_j)(image))
     binary = _binary(image)
     return SH.hu_moments(SH.moments_np(binary))
 
@@ -115,7 +127,8 @@ register_op(
     "extraction.hu_moments",
     golden_fn=hu_moments_extraction,
     data_fn=hu_moments_data,
-    jittable=False,
+    feature_fn=XD.hu_features_j,
+    jittable=False,  # annotation embeds host-formatted text
     global_stats=True,
 )
 
@@ -157,6 +170,19 @@ register_op(
 # ---------------------------------------------------------------------------
 # (D) Haralick / GLCM (core/extraction.py:120-187)
 def _haralick_props(image: np.ndarray, distance: int, angle: float) -> Dict[str, float]:
+    if XD.use_device_extraction():
+        import functools
+
+        import jax
+
+        fn = jax.jit(
+            functools.partial(
+                XD.haralick_features_j, distance=int(distance), angle=float(angle)
+            )
+        )
+        vals = np.asarray(fn(image))
+        return dict(zip(("contrast", "correlation", "energy", "homogeneity"),
+                        (float(v) for v in vals)))
     gray = C.bgr_to_gray_np(image)
     glcm = TX.glcm_np(gray, int(distance), float(angle))
     return {k: float(v) for k, v in TX.glcm_props(glcm).items()}
@@ -182,7 +208,8 @@ register_op(
     "extraction.haralick",
     golden_fn=haralick_extraction,
     data_fn=haralick_data,
-    jittable=False,
+    feature_fn=XD.haralick_features_j,
+    jittable=False,  # annotation embeds host-formatted text
     global_stats=True,
 )
 
@@ -329,8 +356,17 @@ register_op(
     "extraction.hog",
     golden_fn=hog_extraction,
     data_fn=hog_data,
-    jittable=False,
-    global_stats=True,
+    device_fn=XD.hog_device_fn,
+    split=lambda p: (
+        {
+            "orientations": int(p.get("orientations", 9)),
+            "pixels_per_cell": tuple(p.get("pixels_per_cell", (8, 8))),
+            "cells_per_block": tuple(p.get("cells_per_block", (3, 3))),
+        },
+        {},
+    ),
+    jittable=True,
+    global_stats=True,  # display normalization is a global min/max
 )
 
 
@@ -349,6 +385,14 @@ def histogram_stats_extraction(image: np.ndarray) -> np.ndarray:
 
 
 def histogram_data(image: np.ndarray) -> pd.DataFrame:
+    if XD.use_device_extraction():
+        import jax
+
+        vals = np.asarray(jax.jit(XD.histogram_features_j)(image))
+        return pd.DataFrame(
+            [dict(zip(("mean", "variance", "skewness", "kurtosis"),
+                      (float(v) for v in vals)))]
+        )
     gray = C.bgr_to_gray_np(image)
     return pd.DataFrame([TX.histogram_stats_np(gray)])
 
@@ -357,7 +401,8 @@ register_op(
     "extraction.histogram",
     golden_fn=histogram_stats_extraction,
     data_fn=histogram_data,
-    jittable=False,
+    feature_fn=XD.histogram_features_j,
+    jittable=False,  # annotation embeds host-formatted text
     global_stats=True,
 )
 
@@ -373,6 +418,15 @@ def fractal_dimension_extraction(image: np.ndarray, min_box_size: int = 2):
 
 
 def fractal_data(image: np.ndarray, min_box_size: int = 2) -> pd.DataFrame:
+    if XD.use_device_extraction():
+        import functools
+
+        import jax
+
+        fn = jax.jit(
+            functools.partial(XD.fractal_feature_j, min_box_size=int(min_box_size))
+        )
+        return pd.DataFrame([{"fractal_dimension": float(np.asarray(fn(image)))}])
     binary = _binary(image, maxval=1)
     return pd.DataFrame(
         [{"fractal_dimension": H.fractal_dimension(binary, int(min_box_size))}]
@@ -383,7 +437,8 @@ register_op(
     "extraction.fractal",
     golden_fn=fractal_dimension_extraction,
     data_fn=fractal_data,
-    jittable=False,
+    feature_fn=XD.fractal_feature_j,
+    jittable=False,  # annotation embeds host-formatted text
     global_stats=True,
 )
 

@@ -1,0 +1,283 @@
+"""Jittable device feature kernels for the extraction stage.
+
+Reference kernels (``core/extraction.py:57-443``) run per-region python
+loops and an O(H*W) interpreted GLCM; these twins express the same math as
+segment reductions, one-hot contractions and pooled reductions so the
+BASELINE extraction config runs on the accelerator.  DataFrame assembly and
+(for text overlays) annotation remain host finalizations: annotation text
+embeds float64-formatted host numbers, so raster parity there is
+meaningless — the parity surface is the FEATURES, asserted in
+``tests/test_extraction_device.py``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from yamimageprocessor_tpu.ops import color as C
+from yamimageprocessor_tpu.ops import hogf as H
+from yamimageprocessor_tpu.ops import regionprops as RP
+from yamimageprocessor_tpu.ops import texture as TX
+from yamimageprocessor_tpu.ops import threshold as T
+from yamimageprocessor_tpu.ops.labeling import label_j
+
+MAX_REGIONS = 512  # static capacity for padded per-region outputs
+
+
+def binary_j(img, maxval: int = 255):
+    """Device twin of extraction's Otsu binarization helper."""
+
+    gray = C.bgr_to_gray_j(img) if img.ndim == 3 else img
+    return T.binary_j(gray, T.otsu_threshold_j(gray), maxval=maxval)
+
+
+def region_features_j(img, max_regions: int = MAX_REGIONS):
+    """Labels + per-region measurements (padded to ``max_regions``).
+
+    Returns (labels, feats) where feats carries area/centroid/bbox/moment
+    arrays of shape (max_regions+1,).  Solidity stays host-side (convex
+    hulls are sequential); everything else matches ``RP.measure_np``.
+    """
+
+    import jax.numpy as jnp
+
+    labels = label_j(binary_j(img) > 0)
+    feats = RP.measure_j(labels, max_regions)
+    feats["perimeter"] = RP.perimeters_j(labels, max_regions)
+    area = feats["area"]
+    heights = jnp.maximum(feats["max_r"] - feats["min_r"] + 1.0, 1.0)
+    widths = jnp.maximum(feats["max_c"] - feats["min_c"] + 1.0, 1.0)
+    feats["extent"] = area / (heights * widths)
+    safe = jnp.maximum(area, 1.0)
+    a = feats["mu20"] / safe
+    b = feats["mu11"] / safe
+    c = feats["mu02"] / safe
+    feats["orientation"] = jnp.where(
+        a - c == 0,
+        jnp.where(b < 0, -np.pi / 4.0, np.pi / 4.0),
+        0.5 * jnp.arctan2(-2.0 * b, c - a),
+    )
+    common = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4.0 * b * b, 0.0))
+    l1 = (a + c + common) / 2.0
+    l2 = (a + c - common) / 2.0
+    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0))
+    feats["eccentricity"] = jnp.where(area > 0, ecc, 0.0)
+    feats["count"] = jnp.sum(area[1:] > 0).astype(jnp.int32)
+    return labels, feats
+
+
+def region_annotate_j(img, feats):
+    """Device twin of the region_properties annotation: bounding-box
+    borders (thickness 2, offsets {-1, 0} like ``AN.rect_border``) plus
+    radius-3 centroid disks — value-independent geometry, bit-exact vs the
+    host annotate helpers."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = img.shape[:2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    area = feats["area"]
+
+    # integer annotation coordinates exactly as the host path casts them
+    minr = feats["min_r"].astype(jnp.int32)
+    minc = feats["min_c"].astype(jnp.int32)
+    maxr = (feats["max_r"] + 1.0).astype(jnp.int32)
+    maxc = (feats["max_c"] + 1.0).astype(jnp.int32)
+    cen_r = jnp.floor(feats["centroid_r"]).astype(jnp.int32)
+    cen_c = jnp.floor(feats["centroid_c"]).astype(jnp.int32)
+    valid = area > 0
+    valid = valid.at[0].set(False)
+
+    def border_mask(x0, y0, x1, y1, ok):
+        # two nested outlines: off in {-1, 0} (thickness=2 in rect_border)
+        m = jnp.zeros((h, w), bool)
+        for off in (-1, 0):
+            xa, ya, xb, yb = x0 - off, y0 - off, x1 + off, y1 + off
+            cxa = jnp.clip(jnp.minimum(xa, xb), 0, w - 1)
+            cxb = jnp.clip(jnp.maximum(xa, xb), 0, w - 1)
+            cya = jnp.clip(jnp.minimum(ya, yb), 0, h - 1)
+            cyb = jnp.clip(jnp.maximum(ya, yb), 0, h - 1)
+            in_x = (cols >= cxa) & (cols <= cxb)
+            in_y = (rows >= cya) & (rows <= cyb)
+            m = m | (in_x & ((rows == ya) | (rows == yb)))
+            m = m | (in_y & ((cols == xa) | (cols == xb)))
+        return m & ok
+
+    def disk_mask(cx, cy, ok):
+        return (((cols - cx) ** 2 + (rows - cy) ** 2) <= 9) & ok
+
+    # fold over regions painting in the host loop's order (border then
+    # disk per region) so overlapping annotations resolve identically; a
+    # vmapped mask stack would also materialize (max_regions, H, W) bools
+    if img.ndim == 2:
+        green = jnp.uint8(85)  # grayscale target: mean of (0, 255, 0)
+        red = jnp.uint8(85)  # mean of (0, 0, 255)
+    else:
+        green = jnp.array([0, 255, 0], dtype=img.dtype)
+        red = jnp.array([0, 0, 255], dtype=img.dtype)
+
+    def paint(r, out):
+        b = border_mask(minc[r], minr[r], maxc[r], maxr[r], valid[r])
+        d = disk_mask(cen_c[r], cen_r[r], valid[r])
+        if img.ndim == 2:
+            return jnp.where(d, red, jnp.where(b, green, out))
+        return jnp.where(d[..., None], red, jnp.where(b[..., None], green, out))
+
+    return jax.lax.fori_loop(1, area.shape[0], paint, img)
+
+
+def region_properties_device_fn(img, dyn, *, max_regions: int = MAX_REGIONS):
+    """image -> annotated image, fully on device."""
+
+    _, feats = region_features_j(img, max_regions)
+    return region_annotate_j(img, feats)
+
+
+def hu_features_j(img):
+    """Device Hu invariants of the Otsu binarization (f32)."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import shape as SH
+
+    m = SH.moments_j(binary_j(img))
+    n20, n02, n11 = m["nu20"], m["nu02"], m["nu11"]
+    n30, n03, n21, n12 = m["nu30"], m["nu03"], m["nu21"], m["nu12"]
+    h1 = n20 + n02
+    h2 = (n20 - n02) ** 2 + 4 * n11**2
+    h3 = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    h4 = (n30 + n12) ** 2 + (n21 + n03) ** 2
+    h5 = (n30 - 3 * n12) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) + (3 * n21 - n03) * (n21 + n03) * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    h6 = (n20 - n02) * ((n30 + n12) ** 2 - (n21 + n03) ** 2) + 4 * n11 * (
+        n30 + n12
+    ) * (n21 + n03)
+    h7 = (3 * n21 - n03) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) - (n30 - 3 * n12) * (n21 + n03) * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    return jnp.stack([h1, h2, h3, h4, h5, h6, h7])
+
+
+def haralick_features_j(img, *, distance: int = 1, angle: float = 0.0):
+    """Device GLCM props (contrast/correlation/energy/homogeneity)."""
+
+    import jax.numpy as jnp
+
+    gray = C.bgr_to_gray_j(img) if img.ndim == 3 else img
+    dx = int(round(distance * np.cos(angle)))
+    dy = int(round(distance * np.sin(angle)))
+    glcm = TX.glcm_j(gray, dx=dx, dy=dy)
+    props = TX.glcm_props(glcm)
+    return jnp.stack(
+        [props["contrast"], props["correlation"], props["energy"], props["homogeneity"]]
+    )
+
+
+def histogram_features_j(img):
+    """Device mean/variance/skewness/kurtosis of the gray histogram."""
+
+    import jax.numpy as jnp
+
+    gray = C.bgr_to_gray_j(img) if img.ndim == 3 else img
+    mean, m2, skew, kurt = TX.histogram_stats_j(gray)
+    return jnp.stack([mean, m2, skew, kurt])
+
+
+def fractal_feature_j(img, *, min_box_size: int = 2):
+    """Device box-count fractal dimension of the Otsu mask."""
+
+    return H.fractal_dimension_j(binary_j(img, maxval=1), min_box_size)
+
+
+def hog_device_fn(
+    img,
+    dyn,
+    *,
+    orientations: int = 9,
+    pixels_per_cell: Tuple[int, int] = (8, 8),
+    cells_per_block: Tuple[int, int] = (3, 3),
+):
+    """image -> HOG visualization (uint8), fully on device."""
+
+    import jax.numpy as jnp
+
+    gray = C.bgr_to_gray_j(img) if img.ndim == 3 else img
+    _, hist = H.hog_features_j(
+        gray,
+        orientations=int(orientations),
+        pixels_per_cell=tuple(pixels_per_cell),
+        cells_per_block=tuple(cells_per_block),
+    )
+    viz = H.hog_visualize_j(
+        hist, gray.shape, tuple(pixels_per_cell), int(orientations)
+    )
+    lo = viz.min()
+    hi = viz.max()
+    return (255.0 * (viz - lo) / (hi - lo + 1e-6)).astype(jnp.uint8)
+
+
+def use_device_extraction() -> bool:
+    """Data-path routing: device features on the accelerator, numpy golden
+    on the CPU harness (tests compare the two directly)."""
+
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def region_table_device(img) -> Dict[str, np.ndarray]:
+    """Host-facing per-region table from the device kernels: pulls the
+    padded feature arrays plus the labels (for the host hull/solidity
+    finalization) and trims to the true region count."""
+
+    import jax
+
+    labels, feats = jax.jit(region_features_j)(img)
+    host = {k: np.asarray(v) for k, v in feats.items()}
+    labels = np.asarray(labels)
+    n = int(host["count"])
+    meas = RP.RegionMeasurements(
+        count=n,
+        area=host["area"][: n + 1].astype(np.float64),
+        centroid_r=host["centroid_r"][: n + 1].astype(np.float64),
+        centroid_c=host["centroid_c"][: n + 1].astype(np.float64),
+        bbox=np.stack(
+            [
+                host["min_r"][: n + 1].astype(np.int64),
+                host["min_c"][: n + 1].astype(np.int64),
+                (host["max_r"][: n + 1] + 1).astype(np.int64),
+                (host["max_c"][: n + 1] + 1).astype(np.int64),
+            ],
+            axis=1,
+        ),
+        mu20=host["mu20"][: n + 1].astype(np.float64),
+        mu02=host["mu02"][: n + 1].astype(np.float64),
+        mu11=host["mu11"][: n + 1].astype(np.float64),
+        perimeter=host["perimeter"][: n + 1].astype(np.float64),
+    )
+    solidity = RP.solidity_np(labels, meas)
+    return {
+        "meas": meas,
+        "solidity": solidity,
+        "labels": labels,
+    }
+
+
+__all__ = [
+    "MAX_REGIONS",
+    "binary_j",
+    "region_features_j",
+    "region_annotate_j",
+    "region_properties_device_fn",
+    "hu_features_j",
+    "haralick_features_j",
+    "histogram_features_j",
+    "fractal_feature_j",
+    "hog_device_fn",
+    "use_device_extraction",
+    "region_table_device",
+]

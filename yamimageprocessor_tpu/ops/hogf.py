@@ -167,6 +167,92 @@ def hog_visualize_np(
     return out
 
 
+def _stamp_masks(
+    pixels_per_cell: Tuple[int, int], orientations: int
+) -> np.ndarray:
+    """(orientations, c_row, c_col) binary line stamps — the per-bin line
+    segment of :func:`hog_visualize_np`, precomputed once (static) so the
+    device visualization is a single einsum over cell histograms."""
+
+    c_row, c_col = pixels_per_cell
+    radius = min(c_row, c_col) // 2 - 1
+    cy, cx = c_row // 2, c_col // 2
+    stamps = np.zeros((orientations, c_row, c_col), dtype=np.float32)
+    for b in range(orientations):
+        angle = (b + 0.5) * np.pi / orientations
+        dy = int(round(radius * np.sin(angle)))
+        dx = int(round(radius * np.cos(angle)))
+        y0, x0 = cy - dy, cx - dx
+        y1, x1 = cy + dy, cx + dx
+        steps = max(abs(x1 - x0), abs(y1 - y0)) + 1
+        ys = np.clip(np.rint(np.linspace(y0, y1, steps)).astype(int), 0, c_row - 1)
+        xs = np.clip(np.rint(np.linspace(x0, x1, steps)).astype(int), 0, c_col - 1)
+        stamps[b, ys, xs] = 1.0  # duplicates collapse, matching += fancy-index
+    return stamps
+
+
+def hog_visualize_j(
+    hist,
+    shape: Tuple[int, int],
+    pixels_per_cell: Tuple[int, int],
+    orientations: int,
+):
+    """Device twin of :func:`hog_visualize_np`: out = einsum(cell hists,
+    static line stamps) — lines never cross cell borders (radius <
+    cell/2), so the render is one MXU contraction plus a reshape."""
+
+    import jax.numpy as jnp
+
+    c_row, c_col = pixels_per_cell
+    n_cells_row, n_cells_col = hist.shape[:2]
+    stamps = jnp.asarray(_stamp_masks(pixels_per_cell, orientations))
+    # weight<=0 bins contribute nothing (mirrors the skip in the host loop)
+    weights = jnp.maximum(hist, 0.0).astype(jnp.float32)
+    cells = jnp.einsum("rcb,bij->ricj", weights, stamps)
+    out = cells.reshape(n_cells_row * c_row, n_cells_col * c_col)
+    pad_r = shape[0] - out.shape[0]
+    pad_c = shape[1] - out.shape[1]
+    if pad_r or pad_c:
+        out = jnp.pad(out, ((0, pad_r), (0, pad_c)))
+    return out
+
+
+def fractal_box_counts_j(binary, min_box_size: int = 2):
+    """Device box-count series; sizes are static (shape-derived)."""
+
+    import jax.numpy as jnp
+
+    z = (binary > 0).astype(jnp.int32)
+    h, w = z.shape
+    p = min(h, w)
+    sizes = []
+    counts = []
+    k = int(min_box_size)
+    while k <= p:
+        hp, wp = (-h) % k, (-w) % k
+        padded = jnp.pad(z, ((0, hp), (0, wp)))
+        sums = padded.reshape((h + hp) // k, k, (w + wp) // k, k).sum(axis=(1, 3))
+        sizes.append(k)
+        counts.append(jnp.sum((sums > 0) & (sums < k * k)).astype(jnp.float32))
+        k *= 2
+    return np.array(sizes, dtype=np.float32), jnp.stack(counts)
+
+
+def fractal_dimension_j(binary, min_box_size: int = 2):
+    """Device fractal dimension: slope of the log-log box-count fit."""
+
+    import jax.numpy as jnp
+
+    sizes, counts = fractal_box_counts_j(binary, min_box_size)
+    x = jnp.log(jnp.asarray(sizes))
+    y = jnp.log(jnp.maximum(counts, 1.0))
+    xm = x.mean()
+    slope = ((x - xm) * (y - y.mean())).sum() / jnp.maximum(
+        ((x - xm) ** 2).sum(), 1e-12
+    )
+    return -slope
+
+
 def fractal_box_counts(binary: np.ndarray, min_box_size: int = 2):
     """(sizes, counts) box-counting series (``core/extraction.py:293-336``):
     boxes with 0 < sum < k*k over a 0-1 mask, k doubling up to min(shape)."""
@@ -199,6 +285,9 @@ __all__ = [
     "hog_features_np",
     "hog_features_j",
     "hog_visualize_np",
+    "hog_visualize_j",
     "fractal_box_counts",
+    "fractal_box_counts_j",
     "fractal_dimension",
+    "fractal_dimension_j",
 ]

@@ -220,6 +220,64 @@ def measure_j(labels, max_regions: int):
     }
 
 
+def perimeters_j(labels, max_regions: int):
+    """Device twin of :func:`perimeters_np`: same border categories, the
+    weight lookup folded into arithmetic selects (no per-pixel gather) and
+    the per-region sum as a segment reduction."""
+
+    import jax
+    import jax.numpy as jnp
+
+    labels = labels.astype(jnp.int32)
+    h, w = labels.shape
+    padded = jnp.pad(labels, 1)
+
+    def same(dy, dx):
+        return padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] == labels
+
+    pos = labels > 0
+    interior = same(-1, 0) & same(1, 0) & same(0, -1) & same(0, 1) & pos
+    border = pos & ~interior
+    bpad = jnp.pad(border, 1)
+
+    def nb(dy, dx):
+        return bpad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] & same(dy, dx)
+
+    orth = (
+        nb(-1, 0).astype(jnp.int32)
+        + nb(1, 0)
+        + nb(0, -1)
+        + nb(0, 1)
+    )
+    diag = (
+        nb(-1, -1).astype(jnp.int32)
+        + nb(-1, 1)
+        + nb(1, -1)
+        + nb(1, 1)
+    )
+    # nonzero entries of _PERIMETER_WEIGHTS by (orth, diag) category:
+    # orth in {2,3} & diag in {0,1,2} -> 1 ; (0,2)/(1,3) -> sqrt2 ;
+    # (1,1)/(1,2) -> (1+sqrt2)/2
+    one = (orth >= 2) & (orth <= 3) & (diag <= 2)
+    s2 = ((orth == 0) & (diag == 2)) | ((orth == 1) & (diag == 3))
+    mid = (orth == 1) & ((diag == 1) | (diag == 2))
+    weights = jnp.where(
+        one,
+        jnp.float32(1.0),
+        jnp.where(
+            s2,
+            jnp.float32(_SQRT2),
+            jnp.where(mid, jnp.float32((1.0 + _SQRT2) / 2.0), 0.0),
+        ),
+    )
+    weights = jnp.where(border, weights, 0.0)
+    flat = jnp.clip(labels.ravel(), 0, max_regions)
+    out = jax.ops.segment_sum(
+        weights.ravel(), flat, num_segments=max_regions + 1
+    )
+    return out.at[0].set(0.0)
+
+
 # ---------------------------------------------------------------------------
 # convex hull (host finalization for solidity)
 def convex_hull_points(points: np.ndarray) -> np.ndarray:

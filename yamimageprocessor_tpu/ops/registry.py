@@ -73,6 +73,11 @@ class OpImpl:
     #: extraction twin producing tabular records (pandas DataFrame), the
     #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
     data_fn: Optional[Callable[..., Any]] = None
+    #: jittable device feature kernel for extraction families whose
+    #: golden_fn output is a text-annotated image: ``feature_fn(img,
+    #: **static) -> array pytree`` computes the NUMBERS on the accelerator
+    #: (data_fn routes through it on TPU); the text raster stays host-side
+    feature_fn: Optional[Callable[..., Any]] = None
 
     @property
     def identifier(self) -> str:

@@ -115,10 +115,20 @@ def watershed_j(image, markers):
     frontier cost), so the 256-level outer loop never grinds through empty
     levels.  Every sweep is ~15 fused elementwise passes; there are no
     gathers or scatters anywhere.
+
+    On TPU the flood runs as the Pallas block-local kernel
+    (:mod:`.watershed_pallas`): K sweeps per VMEM-resident row block with
+    K-row halos plus stable-block skipping — bit-identical trajectory,
+    ~order-of-magnitude fewer HBM passes.
     """
 
     import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        from yamimageprocessor_tpu.ops.watershed_pallas import flood_pallas
+
+        return flood_pallas(image, markers)
 
     h, w = markers.shape
     img = image.astype(jnp.int16)

@@ -1,0 +1,320 @@
+"""Pallas/Mosaic block-local watershed flooding for TPU.
+
+The plain-XLA flood (:mod:`.watershed`, ``watershed_j``) runs ONE
+level-synchronous sweep per ~15 fused full-frame HBM passes; dense scenes
+need thousands of sweeps, so the flood is HBM-bound (measured 3.2 s @4096²,
+slower than the reference's cv2 queue on CPU — ``core/segmentation.py:
+96-114``).  This kernel restructures the same automaton around VMEM:
+
+* the frame is split into row blocks; each grid step loads its block plus a
+  K-row halo into VMEM and runs **K sweeps locally**.  A k-step radius-1
+  cellular automaton computed on a K-halo block is BIT-IDENTICAL to k global
+  synchronous sweeps for the block's center rows, so the fixed point (and
+  every intermediate state at level-advance boundaries) matches
+  ``watershed_np`` exactly — the flood just pays HBM once per K sweeps
+  instead of ~15 times per sweep.
+* blocks report (changed, frontier-min, unknown-count); the jitted outer
+  loop advances the level exactly like the golden path (stall -> jump to
+  the cheapest active frontier) and **skips stable blocks**: a block is
+  re-swept only when it or a vertical neighbor changed in the previous
+  pass, or the level jumped into its frontier.  On typical scenes the
+  frontier touches a few blocks per pass, so most passes cost a fraction
+  of a frame.
+
+Layout: labels int32 (rows x 128-lane tiles), per-direction edge costs
+int32 with 0x7FFF as the "no neighbor" sentinel (v5e Mosaic cannot lower
+16-bit vector min/compare ops); all shifts are sublane / lane shifts, no
+gathers.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+_WSHED = -1
+_SENT16 = 0x7FFF  # "no neighbor" cost sentinel (any level 0..255 is below it)
+_BIGLAB = 1 << 30
+
+
+@functools.lru_cache(maxsize=32)
+def _build_flood(
+    hp: int,
+    w: int,
+    block_rows: int,
+    k: int,
+    interpret: bool,
+    force_active: bool = False,
+):
+    """Compiled flood pass for a padded (hp, w) frame; returns a jitted
+    ``run(lab0, costs4) -> labels`` for the full level schedule."""
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = hp // block_rows
+    r2 = block_rows + 2 * k
+
+    def _neighbor_views(lab):
+        zr = jnp.zeros((1, w), jnp.int32)
+        zc = jnp.zeros((lab.shape[0], 1), jnp.int32)
+        up = jnp.concatenate([zr, lab[:-1]], axis=0)
+        dn = jnp.concatenate([lab[1:], zr], axis=0)
+        lf = jnp.concatenate([zc, lab[:, :-1]], axis=1)
+        rt = jnp.concatenate([lab[:, 1:], zc], axis=1)
+        return up, dn, lf, rt
+
+    def _frontier(lab, costs):
+        """(trig_cost, pos_min, pos_max) of one synchronous sweep.  Costs
+        are int32 end-to-end: v5e Mosaic cannot legalize ANY 16-bit vector
+        min/compare (minui, minsi, cmp), so the narrow-cost bandwidth
+        optimization is unavailable on this target."""
+
+        sent = jnp.int32(_SENT16)
+        trig_cost = jnp.full(lab.shape, sent, jnp.int32)
+        pos_min = jnp.full(lab.shape, _BIGLAB, jnp.int32)
+        pos_max = jnp.zeros(lab.shape, jnp.int32)
+        for nl, cost in zip(_neighbor_views(lab), costs):
+            pos = nl > 0
+            cand = jnp.where(pos, cost, sent)
+            trig_cost = jnp.minimum(trig_cost, cand)
+            pos_min = jnp.minimum(pos_min, jnp.where(pos, nl, _BIGLAB))
+            pos_max = jnp.maximum(pos_max, nl)
+        return trig_cost, pos_min, pos_max
+
+    def kernel(level_ref, active_ref, lab_hbm, cu_hbm, cd_hbm, cl_hbm, cr_hbm,
+               out_ref, changed_ref, frontier_ref, unknown_ref,
+               lab_s, cu_s, cd_s, cl_s, cr_s, sems):
+        i = pl.program_id(0)
+        level = level_ref[0]
+        active = active_ref[i] > 0
+
+        lab_dma = pltpu.make_async_copy(
+            lab_hbm.at[pl.ds(i * block_rows, r2)], lab_s, sems.at[0]
+        )
+        lab_dma.start()
+
+        @pl.when(active)
+        def _():
+            for idx, (hbm, sc) in enumerate(
+                ((cu_hbm, cu_s), (cd_hbm, cd_s), (cl_hbm, cl_s), (cr_hbm, cr_s))
+            ):
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(i * block_rows, r2)], sc, sems.at[idx + 1]
+                ).start()
+
+        lab_dma.wait()
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_ref[:] = lab_s[k : k + block_rows]
+            changed_ref[0] = 0
+            frontier_ref[0] = _SENT16
+            unknown_ref[0] = 0
+
+        @pl.when(active)
+        def _():
+            for idx in range(4):
+                pltpu.make_async_copy(
+                    (cu_hbm, cd_hbm, cl_hbm, cr_hbm)[idx].at[
+                        pl.ds(i * block_rows, r2)
+                    ],
+                    (cu_s, cd_s, cl_s, cr_s)[idx],
+                    sems.at[idx + 1],
+                ).wait()
+            costs = (cu_s[:], cd_s[:], cl_s[:], cr_s[:])
+            level16 = level
+            lab0 = lab_s[:]
+
+            def sweep(_, lab):
+                trig_cost, pos_min, pos_max = _frontier(lab, costs)
+                unknown = lab == 0
+                trig = unknown & (trig_cost <= level16)
+                new_val = jnp.where(
+                    pos_min != pos_max, jnp.int32(_WSHED), pos_min
+                )
+                return jnp.where(trig, new_val, lab)
+
+            lab = jax.lax.fori_loop(0, k, sweep, lab0)
+            center = lab[k : k + block_rows]
+            out_ref[:] = center
+            changed_ref[0] = jnp.any(
+                center != lab0[k : k + block_rows]
+            ).astype(jnp.int32)
+            # frontier/unknown of the FINAL state (drives the level jump)
+            trig_cost, _, _ = _frontier(lab, costs)
+            unk_c = center == 0
+            # int32 before the reduce: Mosaic has no unsigned reductions
+            tc_c = jnp.where(
+                unk_c,
+                trig_cost[k : k + block_rows],
+                jnp.int32(_SENT16),
+            )
+            frontier_ref[0] = jnp.min(tc_c)
+            unknown_ref[0] = jnp.sum(unk_c.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # level, active flags
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r2, w), jnp.int32),
+            pltpu.VMEM((r2, w), jnp.int32),
+            pltpu.VMEM((r2, w), jnp.int32),
+            pltpu.VMEM((r2, w), jnp.int32),
+            pltpu.VMEM((r2, w), jnp.int32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+
+    flood_pass = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+
+    # numpy, NOT jnp: _build_flood may first run inside an outer jit trace,
+    # and a traced constant cached in this closure would leak its tracer
+    pad_rows = np.full((k, w), _WSHED, np.int32)
+
+    def run(lab0, costs4):
+        cu, cd, cl, cr = costs4
+
+        def cond(state):
+            _, level, _, frontier, unknown, _ = state
+            return (level < 256) & (jnp.sum(unknown) > 0)
+
+        def _dilate1(flags):
+            """Activate vertical block neighbors too: within one pass,
+            influence travels <= k rows, i.e. at most one block over —
+            both the changed-blocks term and the frontier term need the
+            dilation (a neighbor's newly labeled pixels can trigger a block
+            whose own frontier is above the level)."""
+
+            z = jnp.zeros((1,), flags.dtype)
+            return (
+                flags
+                | jnp.concatenate([flags[1:], z])
+                | jnp.concatenate([z, flags[:-1]])
+            )
+
+        def body(state):
+            lab, level, changed, frontier, unknown, jumped = state
+            woken = jumped & (frontier <= level)
+            active = (_dilate1(changed) > 0) | _dilate1(woken)
+            if force_active:  # debug/validation mode: no block skipping
+                active = jnp.ones((nb,), bool)
+            lab_p = jnp.concatenate([pad_rows, lab, pad_rows], axis=0)
+            new_lab, new_changed, new_frontier, new_unknown = flood_pass(
+                level[None].astype(jnp.int32),
+                active.astype(jnp.int32),
+                lab_p,
+                cu,
+                cd,
+                cl,
+                cr,
+            )
+            frontier = jnp.where(active, new_frontier, frontier)
+            unknown = jnp.where(active, new_unknown, unknown)
+            any_changed = jnp.sum(new_changed) > 0
+            next_active = jnp.minimum(jnp.min(frontier), 256)
+            new_level = jnp.where(
+                any_changed, level, jnp.maximum(next_active, level + 1)
+            )
+            return (
+                new_lab,
+                new_level,
+                new_changed,
+                frontier,
+                unknown,
+                jnp.logical_not(any_changed),
+            )
+
+        init = (
+            lab0,
+            jnp.int32(0),
+            jnp.ones((nb,), jnp.int32),  # every block active on pass 1
+            jnp.zeros((nb,), jnp.int32),
+            jnp.ones((nb,), jnp.int32),  # assume unknowns until measured
+            jnp.array(False),
+        )
+        lab, *_ = jax.lax.while_loop(cond, body, init)
+        return lab
+
+    run.flood_pass = flood_pass  # exposed for parity debugging
+    run.pad_rows = pad_rows
+    return run
+
+
+def flood_pallas(image, markers, *, block_rows: int = 128, k_sweeps: int = 8,
+                 interpret: bool = False, force_active: bool = False):
+    """Level-synchronous watershed flood, Pallas block edition.
+
+    Same fixed point as :func:`yamimageprocessor_tpu.ops.watershed.
+    watershed_np` (see module docstring for the equivalence argument).
+    ``image`` (H, W[, C]) uint8, ``markers`` (H, W) int32-compatible.
+    """
+
+    import jax.numpy as jnp
+
+    h, w = markers.shape
+    img = image.astype(jnp.int16)
+    if img.ndim == 2:
+        img = img[..., None]
+    dyc = jnp.abs(img[1:, :] - img[:-1, :]).max(axis=-1).astype(jnp.int32)
+    dxc = jnp.abs(img[:, 1:] - img[:, :-1]).max(axis=-1).astype(jnp.int32)
+
+    sent = jnp.int32(_SENT16)
+    cu = jnp.full((h, w), sent, jnp.int32).at[1:, :].set(dyc)
+    cd = jnp.full((h, w), sent, jnp.int32).at[:-1, :].set(dyc)
+    cl = jnp.full((h, w), sent, jnp.int32).at[:, 1:].set(dxc)
+    cr = jnp.full((h, w), sent, jnp.int32).at[:, :-1].set(dxc)
+
+    lab0 = markers.astype(jnp.int32)
+    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    lab0 = jnp.where(border, _WSHED, lab0)
+
+    block = min(block_rows, max(8, -(-h // 8) * 8))  # sublane-aligned
+    hp = -(-h // block) * block  # pad rows to a whole number of blocks
+    wp = -(-w // 128) * 128  # pad lanes to the vreg width
+    k = min(k_sweeps, block)
+
+    def pad2(a, fill):
+        return jnp.pad(
+            a, ((0, hp - h), (0, wp - w)), constant_values=fill
+        )
+
+    lab0 = pad2(lab0, _WSHED)
+    # cost planes get the same K leading/trailing pad rows the label carry
+    # receives per pass, so block-relative DMA windows stay row-aligned
+    costs4 = tuple(
+        jnp.pad(
+            pad2(c, _SENT16), ((k, k), (0, 0)), constant_values=_SENT16
+        )
+        for c in (cu, cd, cl, cr)
+    )
+    # pad columns/rows must never interact: their costs are sentinel and
+    # their labels WSHED, so they neither trigger nor contribute labels
+
+    run = _build_flood(hp, wp, block, k, interpret, force_active)
+    lab = run(lab0, costs4)
+    return lab[:h, :w]
+
+
+__all__ = ["flood_pallas"]
