@@ -110,9 +110,9 @@ def _build_flood(
         @pl.when(jnp.logical_not(active))
         def _():
             out_ref[:] = lab_s[k : k + block_rows]
-            changed_ref[0] = 0
-            frontier_ref[0] = _SENT16
-            unknown_ref[0] = 0
+            changed_ref[0, 0] = 0
+            frontier_ref[0, 0] = _SENT16
+            unknown_ref[0, 0] = 0
 
         @pl.when(active)
         def _():
@@ -140,7 +140,7 @@ def _build_flood(
             lab = jax.lax.fori_loop(0, k, sweep, lab0)
             center = lab[k : k + block_rows]
             out_ref[:] = center
-            changed_ref[0] = jnp.any(
+            changed_ref[0, 0] = jnp.any(
                 center != lab0[k : k + block_rows]
             ).astype(jnp.int32)
             # frontier/unknown of the FINAL state (drives the level jump)
@@ -152,8 +152,8 @@ def _build_flood(
                 trig_cost[k : k + block_rows],
                 jnp.int32(_SENT16),
             )
-            frontier_ref[0] = jnp.min(tc_c)
-            unknown_ref[0] = jnp.sum(unk_c.astype(jnp.int32))
+            frontier_ref[0, 0] = jnp.min(tc_c)
+            unknown_ref[0, 0] = jnp.sum(unk_c.astype(jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # level, active flags
@@ -162,9 +162,11 @@ def _build_flood(
         out_specs=(
             pl.BlockSpec((block_rows, w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i, *_: (i,), memory_space=pltpu.SMEM),
+            # (nb, 1) scalar planes: rank-1 SMEM outputs with block (1,)
+            # fail Mosaic's tiling rule once nb > 1
+            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((r2, w), jnp.int32),
@@ -181,9 +183,9 @@ def _build_flood(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((nb,), jnp.int32),
-            jax.ShapeDtypeStruct((nb,), jnp.int32),
-            jax.ShapeDtypeStruct((nb,), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -229,6 +231,9 @@ def _build_flood(
                 cl,
                 cr,
             )
+            new_changed = new_changed[:, 0]
+            new_frontier = new_frontier[:, 0]
+            new_unknown = new_unknown[:, 0]
             frontier = jnp.where(active, new_frontier, frontier)
             unknown = jnp.where(active, new_unknown, unknown)
             any_changed = jnp.sum(new_changed) > 0

@@ -39,7 +39,10 @@ from yamimageprocessor_tpu.pipeline.builders import (
 from yamimageprocessor_tpu.pipeline.cache import PipelineCacheTileUpdate
 from yamimageprocessor_tpu.pipeline.step import PipelineStep
 from yamimageprocessor_tpu.ui import ModulePane
-from yamimageprocessor_tpu.ui.preview import PreviewRecord
+from yamimageprocessor_tpu.ui.preview import (
+    CoalescingPreviewScheduler,
+    PreviewRecord,
+)
 
 LOGGER = logging.getLogger(__name__)
 
@@ -110,6 +113,7 @@ class PreprocessingPane(_BasePane):
         self._progressive = _ProgressivePreviewState(None)
         self.preview_record: Optional[PreviewRecord] = None
         self._active_task = None
+        self._preview_scheduler: Optional[CoalescingPreviewScheduler] = None
 
     # ------------------------------------------------------------------
     # loading (``ui/preprocessing.py:2263-2319``)
@@ -134,6 +138,10 @@ class PreprocessingPane(_BasePane):
                 f"file:{path}:{stat.st_size}:{stat.st_mtime_ns}", hint=str(path)
             )
             self.original = None
+            # lazy pyramid: levels materialize from region reads only — the
+            # gigapixel source is never pulled dense for a preview
+            # (ref yam_processor/ui/dialogs.py:63-91)
+            self.preview_record = PreviewRecord.from_tiled(record)
         self.committed = None if array is None else array.copy()
         self.committed_signature = self.source_id
         self._progressive = _ProgressivePreviewState(self.committed)
@@ -226,6 +234,52 @@ class PreprocessingPane(_BasePane):
     def cancel_preview(self) -> None:
         if self._active_task is not None:
             self._active_task.cancel()
+
+    # ------------------------------------------------------------------
+    # coalesced parameter preview (``yam_processor/ui/dialogs.py:508-807``):
+    # rapid slider updates overwrite one pending slot; at most 2 computes
+    def schedule_preview_update(
+        self, params_override: Optional[Dict[str, Any]] = None
+    ) -> Optional[CoalescingPreviewScheduler]:
+        if self.source_id is None:
+            return None
+        if self._preview_scheduler is None:
+
+            def compute(params):
+                steps = [s.clone() for s in self._steps()]
+                if params:
+                    for name, p in params.items():
+                        for step in steps:
+                            if step.name == name:
+                                step.params.update(p)
+                operand = (
+                    self.original if self.original is not None else self._lazy_record
+                )
+                if operand is None:
+                    return
+                if hasattr(operand, "iter_tiles") and not isinstance(
+                    operand, np.ndarray
+                ):
+                    from yamimageprocessor_tpu.pipeline.tiled_records import (
+                        TiledPipelineImage,
+                    )
+
+                    operand = TiledPipelineImage(operand, tile_size=(512, 512))
+                result = self.app_core.pipeline_cache.compute(
+                    self.source_id, operand, steps
+                )
+                self.current_preview = result.image
+                self._emit_preview(result.image)
+
+            def submit(work):
+                self.app_core.thread_controller.submit(
+                    lambda cancel_event=None, progress_callback=None: work(),
+                    name="param-preview",
+                )
+
+            self._preview_scheduler = CoalescingPreviewScheduler(compute, submit)
+        self._preview_scheduler.schedule(params_override)
+        return self._preview_scheduler
 
     # ------------------------------------------------------------------
     # commit + undo/redo (``ui/preprocessing.py:996-1043,2013-2035``)

@@ -33,10 +33,62 @@ def _halve(image: np.ndarray) -> np.ndarray:
     return pooled.astype(image.dtype)
 
 
-@dataclass
 class PreviewLevel:
-    scale: int  # denominator: 1, 2, 4, ...
-    image: np.ndarray
+    """One pyramid level; ``image`` may be lazy (materialized on first
+    access from the level's loader — region reads, never ``to_array``)."""
+
+    def __init__(self, scale: int, image=None, loader=None, shape=None):
+        self.scale = int(scale)
+        self._image = None if image is None else np.asarray(image)
+        self._loader = loader
+        self._shape = (
+            tuple(shape)
+            if shape is not None
+            else (None if self._image is None else self._image.shape)
+        )
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def image(self) -> np.ndarray:
+        if self._image is None:
+            self._image = np.asarray(self._loader())
+            self._shape = self._image.shape
+        return self._image
+
+    @property
+    def materialized(self) -> bool:
+        return self._image is not None
+
+
+def _downsample_streaming(record, scale: int, out_shape) -> np.ndarray:
+    """Scale-``s`` box downsample via row-band region reads only — the
+    lazy-record pyramid path (ref ``yam_processor/ui/dialogs.py:63-91``
+    builds levels from the tiled record without materializing)."""
+
+    shape = record.infer_shape() if hasattr(record, "infer_shape") else record.shape
+    h, w = int(shape[0]), int(shape[1])
+    channels = shape[2] if len(shape) > 2 else None
+    oh, ow = out_shape[0], out_shape[1]
+    out = np.zeros(
+        (oh, ow) if channels is None else (oh, ow, channels), dtype=np.float32
+    )
+    for orow in range(oh):
+        top = orow * scale
+        bottom = min(top + scale, h)
+        band = np.asarray(record.read_region((0, top, w, bottom)))
+        bw = ow * scale
+        band = band[:, :bw, ...].astype(np.float32)
+        pooled = band.reshape(
+            (band.shape[0], ow, scale) + band.shape[2:]
+        ).mean(axis=(0, 2))
+        out[orow] = pooled
+    sample_dtype = getattr(record, "dtype", np.uint8)
+    if np.dtype(sample_dtype) == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.astype(sample_dtype)
 
 
 @dataclass
@@ -56,11 +108,48 @@ class PreviewRecord:
             levels.append(PreviewLevel(scale, current))
         return cls(levels=levels)
 
+    @classmethod
+    def from_tiled(cls, record, max_edge: int = MAX_PREVIEW_EDGE):
+        """Lazy pyramid over a tiled/lazy source: EVERY level materializes
+        from ``read_region`` row bands on first access; nothing touches
+        ``to_array`` (the gigapixel case — a 16k² memmap source costs one
+        thumbnail, not a frame)."""
+
+        shape = (
+            record.infer_shape() if hasattr(record, "infer_shape") else record.shape
+        )
+        h, w = int(shape[0]), int(shape[1])
+        extra = tuple(shape[2:])
+        levels = [
+            PreviewLevel(
+                1,
+                loader=lambda: np.asarray(record.read_region((0, 0, w, h))),
+                shape=(h, w) + extra,
+            )
+        ]
+        scale = 1
+        ch, cw = h, w
+        while max(ch, cw) > max_edge and min(ch, cw) >= 2:
+            scale *= 2
+            ch, cw = h // scale, w // scale
+            levels.append(
+                PreviewLevel(
+                    scale,
+                    loader=(
+                        lambda s=scale, lh=ch, lw=cw: _downsample_streaming(
+                            record, s, (lh, lw)
+                        )
+                    ),
+                    shape=(ch, cw) + extra,
+                )
+            )
+        return cls(levels=levels)
+
     def best_for(self, target_edge: int) -> PreviewLevel:
         """Smallest level whose max edge still covers ``target_edge``."""
 
         for level in reversed(self.levels):
-            if max(level.image.shape[:2]) >= target_edge:
+            if max(level.shape[:2]) >= target_edge:
                 return level
         return self.levels[0]
 
@@ -102,6 +191,58 @@ class PreviewFetcher:
         return request_id
 
 
+class CoalescingPreviewScheduler:
+    """Debounced parameter-preview scheduling with pending-params
+    coalescing (``yam_processor/ui/dialogs.py:508-807``): while a preview
+    compute is in flight, newer parameter updates overwrite a single
+    pending slot; when the compute finishes, only the LATEST pending params
+    run.  N rapid updates cost at most 2 computes."""
+
+    def __init__(self, compute: Callable[[object], None], submit=None) -> None:
+        self._compute = compute
+        self._submit = submit  # fn(callable) -> runs it (thread pool hook)
+        self._lock = threading.Lock()
+        self._running = False
+        self._pending: tuple = ()  # () = empty; (params,) = pending
+        self.computes = 0  # instrumentation (tests/diagnostics)
+
+    def schedule(self, params) -> None:
+        with self._lock:
+            if self._running:
+                self._pending = (params,)
+                return
+            self._running = True
+        self._launch(params)
+
+    def _launch(self, params) -> None:
+        def work():
+            try:
+                self.computes += 1
+                self._compute(params)
+            finally:
+                self._on_done()
+
+        if self._submit is not None:
+            self._submit(work)
+        else:
+            work()
+
+    def _on_done(self) -> None:
+        with self._lock:
+            if self._pending:
+                params = self._pending[0]
+                self._pending = ()
+            else:
+                self._running = False
+                return
+        self._launch(params)
+
+    @property
+    def busy(self) -> bool:
+        with self._lock:
+            return self._running
+
+
 def extract_slice(array: np.ndarray, axis: int, index: int) -> np.ndarray:
     """ND slice controls (``yam_processor/ui/dialogs.py:292-412``)."""
 
@@ -115,5 +256,6 @@ __all__ = [
     "PreviewLevel",
     "PreviewRecord",
     "PreviewFetcher",
+    "CoalescingPreviewScheduler",
     "extract_slice",
 ]
