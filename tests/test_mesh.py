@@ -84,6 +84,84 @@ def test_spatial_sharded_elementwise_exact_everywhere(mesh, rng):
     assert (out == dense).all()
 
 
+def test_spatial_sharded_segmentation_chain_bit_exact(mesh, rng):
+    """SURVEY hard part #1: threshold+morphology+watershed over a
+    row-sharded mesh — labels/boundaries bit-identical to the dense path
+    (all-gathered label merge, per-sweep halo exchange, op-correct border
+    fills)."""
+
+    from yamimageprocessor_tpu.models.stages import segmentation_steps
+
+    h, w = 16 * 8, 96
+    frame = np.zeros((h, w), np.uint8)
+    yy, xx = np.mgrid[:h, :w]
+    for cy, cx, r, v in ((30, 30, 12, 200), (70, 60, 14, 170), (100, 25, 9, 220)):
+        frame[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = v
+    frame = (
+        (frame.astype(np.int16) + rng.integers(-8, 9, frame.shape))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    steps = segmentation_steps(watershed=True)
+    out = spatial_sharded_apply(steps, frame, mesh)
+    dense = PipelineManager(steps).apply_host(frame)
+    assert (out == dense).all()
+
+
+def test_spatial_sharded_clahe_bit_exact(mesh, rng):
+    """Collective CLAHE: psum'd grid histograms + shared LUT math give
+    full-frame bit parity (the BASELINE fused Gaussian+CLAHE chain)."""
+
+    frame = rng.integers(0, 256, (16 * 8, 96), dtype=np.uint8)
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        ),
+        PipelineStep(
+            name="CLAHE",
+            op_id="preprocessing.clahe",
+            stage=Stage.PREPROCESSING,
+            params={"clip_limit": 2.0, "grid_size": 8},
+        ),
+    ]
+    out = spatial_sharded_apply(steps, frame, mesh)
+    # compare against the dense DEVICE path: the sharded blend matches it
+    # bit-for-bit (the f64 numpy golden differs by <=1 LSB at exact .5
+    # rounding boundaries — a dense-device property, not a sharding one)
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    dense_dev = get_compiled_chain(steps, frame.shape, frame.dtype).run_final(
+        frame, steps
+    )
+    assert (out == dense_dev).all()
+    dense = PipelineManager(steps).apply_host(frame)
+    assert np.abs(out.astype(np.int16) - dense.astype(np.int16)).max() <= 1
+
+
+def test_spatial_sharded_morphology_exact_everywhere(mesh, rng):
+    """Morphology sharded variants reproduce cv2's extreme-value borders
+    exactly, including the first/last shard's frame-edge rows."""
+
+    frame = (rng.integers(0, 2, (16 * 8, 96), dtype=np.uint8)) * 255
+    steps = [
+        PipelineStep(
+            name="Opening",
+            stage=Stage.SEGMENTATION,
+            params={"kernel_shape": "Elliptical", "kernel_size": 5, "iterations": 2},
+        ),
+        PipelineStep(
+            name="Closing",
+            stage=Stage.SEGMENTATION,
+            params={"kernel_shape": "Rectangular", "kernel_size": 3, "iterations": 1},
+        ),
+    ]
+    out = spatial_sharded_apply(steps, frame, mesh)
+    dense = PipelineManager(steps).apply_host(frame)
+    assert (out == dense).all()
+
+
 def test_spatial_sharded_rejects_bad_height(mesh, rng):
     frame = rng.integers(0, 256, (100, 64), dtype=np.uint8)
     with pytest.raises(ValueError):

@@ -105,30 +105,15 @@ def clahe_np(
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
 
 
-def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
-    import jax
+def _clip_and_lut_j(hist, clip_limit: float, area: int):
+    """(gh, gw, 256) histograms -> f32 LUT tables (cv2 clip semantics);
+    shared by the dense and the mesh-sharded paths so their LUT math is
+    literally the same code."""
+
     import jax.numpy as jnp
 
-    gh, gw = grid
-    h0, w0 = gray.shape
-    ph = (-h0) % gh
-    pw = (-w0) % gw
-    work = jnp.pad(gray, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else gray
-    h, w = work.shape
-    th, tw = h // gh, w // gw
-    area = th * tw
     limit = max(int(clip_limit * area / 256.0), 1)
     scale = jnp.float32(255.0 / area)
-
-    tiles = work.reshape(gh, th, gw, tw).astype(jnp.int32)
-
-    # per-tile histograms via the level sweep (VPU-only)
-    def hist_level(k):
-        return (tiles == k).sum(axis=(1, 3))
-
-    hist = jax.lax.map(hist_level, jnp.arange(256, dtype=jnp.int32))
-    hist = jnp.moveaxis(hist, 0, -1)  # (gh, gw, 256)
-
     if clip_limit > 0:
         clipped = jnp.maximum(hist - limit, 0).sum(axis=-1)  # (gh, gw)
         hist = jnp.minimum(hist, limit)
@@ -142,11 +127,35 @@ def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
             idx[None, None, :] // step[..., None] < residual[..., None]
         )
         hist = hist + take.astype(hist.dtype)
-
     cdf = jnp.cumsum(hist, axis=-1)
-    luts = jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale), 0, 255).astype(
+    return jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale), 0, 255).astype(
         jnp.float32
-    )  # (gh, gw, 256)
+    )
+
+
+def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
+    import jax
+    import jax.numpy as jnp
+
+    gh, gw = grid
+    h0, w0 = gray.shape
+    ph = (-h0) % gh
+    pw = (-w0) % gw
+    work = jnp.pad(gray, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else gray
+    h, w = work.shape
+    th, tw = h // gh, w // gw
+    area = th * tw
+
+    tiles = work.reshape(gh, th, gw, tw).astype(jnp.int32)
+
+    # per-tile histograms via the level sweep (VPU-only)
+    def hist_level(k):
+        return (tiles == k).sum(axis=(1, 3))
+
+    hist = jax.lax.map(hist_level, jnp.arange(256, dtype=jnp.int32))
+    hist = jnp.moveaxis(hist, 0, -1)  # (gh, gw, 256)
+
+    luts = _clip_and_lut_j(hist, clip_limit, area)  # (gh, gw, 256)
 
     (y0, y1, fy), (x0, x1, fx) = _interp_weights(h, w, grid)
     y0 = jnp.asarray(y0)
@@ -180,4 +189,110 @@ def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
     return out[:h0, :w0]
 
 
-__all__ = ["clahe_np", "clahe_j"]
+def clahe_sharded_j(
+    gray_block,
+    *,
+    clip_limit: float = 40.0,
+    grid: Tuple[int, int] = (8, 8),
+    axis: str,
+):
+    """Row-sharded CLAHE, bit-identical to :func:`clahe_j`.
+
+    The CLAHE grid spans the FULL frame while shards own row bands, so per
+    grid-tile histograms are assembled with a row-projection matmul (each
+    local row's counts land in its global tile row) and psum'd over the
+    mesh (SURVEY §2.5: "global histograms [CLAHE/Otsu] become mesh
+    collectives").  LUT math is shared code; the bilinear blend gathers the
+    4 corner tables via exact one-hot selections and combines them in the
+    dense path's term order, so even f32 rounding matches.
+
+    Requires the global frame to divide evenly by the grid (no reflect
+    padding across shards); the dense path handles ragged shapes.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.parallel.collectives import axis_len
+
+    gh, gw = grid
+    n = axis_len(axis)
+    idx = jax.lax.axis_index(axis)
+    bh, w = gray_block.shape
+    H = n * bh
+    if H % gh or w % gw:
+        raise ValueError(
+            f"sharded CLAHE requires frame ({H}x{w}) divisible by grid {grid}"
+        )
+    th, tw = H // gh, w // gw
+    area = th * tw
+
+    # per-tile histogram contributions: row-projection + column reshape.
+    # Integer one-hot sum, NOT a matmul: TPU f32 matmuls run as bf16
+    # passes, which round counts above 256
+    cols = gray_block.reshape(bh, gw, tw).astype(jnp.int32)
+    grow = (idx * bh + jnp.arange(bh)) // th  # global tile row per local row
+    R = (grow[:, None] == jnp.arange(gh)[None, :]).astype(jnp.int32)
+
+    def hist_level(k):
+        per_row = (cols == k).sum(axis=2)  # (bh, gw) int32
+        return (per_row[:, None, :] * R[:, :, None]).sum(axis=0)  # (gh, gw)
+
+    hist = jax.lax.map(hist_level, jnp.arange(256, dtype=jnp.int32))
+    hist = jnp.moveaxis(hist, 0, -1)  # (gh, gw, 256) int32
+    hist = jax.lax.psum(hist, axis)
+
+    luts = _clip_and_lut_j(hist, clip_limit, area)
+
+    # interpolation weights for ALL global rows via the SAME f64 host code
+    # the dense path uses (f32-recomputed fractions differ by an ulp and
+    # flip rounded outputs by 1); each shard dynamic-slices its row band
+    (y0_all, y1_all, fy_all), (x0, x1, fx_np) = _interp_weights(H, w, grid)
+    start = idx * bh
+    fy = jax.lax.dynamic_slice(
+        jnp.asarray(fy_all, dtype=jnp.float32), (start,), (bh,)
+    )
+    y0 = jax.lax.dynamic_slice(
+        jnp.asarray(y0_all, dtype=jnp.int32), (start,), (bh,)
+    )
+    y1 = jax.lax.dynamic_slice(
+        jnp.asarray(y1_all, dtype=jnp.int32), (start,), (bh,)
+    )
+    fx = jnp.asarray(fx_np, dtype=jnp.float32)
+
+    Y0 = (y0[:, None] == jnp.arange(gh)[None, :]).astype(jnp.float32)
+    Y1 = (y1[:, None] == jnp.arange(gh)[None, :]).astype(jnp.float32)
+    X0 = jnp.asarray(
+        (x0[:, None] == np.arange(gw)[None, :]).astype(np.float32)
+    )
+    X1 = jnp.asarray(
+        (x1[:, None] == np.arange(gw)[None, :]).astype(np.float32)
+    )
+    fy2 = fy[:, None]
+    fx2 = fx[None, :]
+    w00 = (1 - fy2) * (1 - fx2)
+    w01 = (1 - fy2) * fx2
+    w10 = fy2 * (1 - fx2)
+    w11 = fy2 * fx2
+
+    vals = gray_block.astype(jnp.int32)
+
+    def upsample(table_k):
+        # exact one-hot selections of the 4 corner tables, combined in the
+        # SAME term order as clahe_j (f32 rounding parity)
+        t00 = Y0 @ table_k @ X0.T
+        t01 = Y0 @ table_k @ X1.T
+        t10 = Y1 @ table_k @ X0.T
+        t11 = Y1 @ table_k @ X1.T
+        return w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+
+    def body(k, acc):
+        blended = upsample(luts[:, :, k])
+        return jnp.where(vals == k, blended, acc)
+
+    init = upsample(luts[:, :, 0])
+    out = jax.lax.fori_loop(1, 256, body, init)
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+
+__all__ = ["clahe_np", "clahe_j", "clahe_sharded_j"]

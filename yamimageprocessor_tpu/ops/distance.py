@@ -123,4 +123,79 @@ def distance_transform_j(binary):
     return bwd[::-1]
 
 
-__all__ = ["distance_transform_np", "distance_transform_j", "A", "B", "C"]
+def distance_transform_sharded_j(binary_block, axis: str):
+    """Row-sharded chamfer transform, bit-identical to the dense path.
+
+    The forward/backward row recurrences are sequential across shards, so
+    carries (the last two finalized rows) ride a ``ppermute`` wavefront: in
+    round t the first t shards' carries are already exact, and after
+    ``n_shards`` rounds every block is final.  Total work equals one dense
+    transform; the wavefront is the irreducible sequential dependency.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.parallel.collectives import (
+        axis_len,
+        neighbor_perms,
+    )
+
+    n = axis_len(axis)
+    idx = jax.lax.axis_index(axis)
+    down, up = neighbor_perms(n)
+    h, w = binary_block.shape
+    d0 = jnp.where(binary_block != 0, INF, jnp.float32(0.0))
+    j = jnp.arange(w, dtype=jnp.float32)
+    inf_row = jnp.full((w,), INF)
+
+    def row_relax(row):
+        left = jax.lax.associative_scan(jnp.minimum, row - j) + j
+        right = jax.lax.associative_scan(jnp.minimum, (row + j)[::-1])[::-1] - j
+        return jnp.minimum(left, right)
+
+    def vert_candidates(r1, r2):
+        p1 = jnp.pad(r1, 2, constant_values=INF)
+        cand = jnp.full((w,), INF)
+        cand = jnp.minimum(cand, p1[2:-2] + A)
+        cand = jnp.minimum(cand, p1[1:-3] + B)
+        cand = jnp.minimum(cand, p1[3:-1] + B)
+        cand = jnp.minimum(cand, p1[:-4] + C)
+        cand = jnp.minimum(cand, p1[4:] + C)
+        p2 = jnp.pad(r2, 2, constant_values=INF)
+        cand = jnp.minimum(cand, p2[1:-3] + C)
+        cand = jnp.minimum(cand, p2[3:-1] + C)
+        return cand
+
+    def step(carry, row):
+        prev1, prev2 = carry
+        cand = jnp.minimum(row, vert_candidates(prev1, prev2))
+        new = row_relax(cand)
+        return (new, prev1), new
+
+    def sweep(rows, perm, first_shard):
+        """n wavefront rounds of the local scan with carried edge rows."""
+
+        carry = (inf_row, inf_row)
+        out = rows
+        for _ in range(n):
+            (c1, c2), out = jax.lax.scan(step, carry, rows, unroll=8)
+            sent = jnp.stack([c1, c2])
+            received = jax.lax.ppermute(sent, axis, perm)
+            received = jnp.where(idx == first_shard, jnp.full_like(received, INF), received)
+            carry = (received[0], received[1])
+        return out
+
+    fwd = sweep(d0, down, 0)
+    bwd = sweep(fwd[::-1], up, n - 1)
+    return bwd[::-1]
+
+
+__all__ = [
+    "distance_transform_np",
+    "distance_transform_j",
+    "distance_transform_sharded_j",
+    "A",
+    "B",
+    "C",
+]

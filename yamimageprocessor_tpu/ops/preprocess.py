@@ -280,6 +280,27 @@ def clahe_op_j(img, dyn, *, clip_limit: float = 40.0, grid_size: int = 8):
     return C.ycrcb_to_bgr_j(ycrcb)
 
 
+def clahe_op_sharded_j(
+    img, dyn, *, axis: str, clip_limit: float = 40.0, grid_size: int = 8
+):
+    """Collective CLAHE over a row-sharded frame (psum'd grid histograms,
+    shared LUT math — see ``ops/clahe.py:clahe_sharded_j``)."""
+
+    from yamimageprocessor_tpu.ops.clahe import clahe_sharded_j
+
+    grid = (int(grid_size), int(grid_size))
+    if img.ndim == 2:
+        return clahe_sharded_j(
+            img, clip_limit=float(clip_limit), grid=grid, axis=axis
+        )
+    ycrcb = C.bgr_to_ycrcb_j(img)
+    y = clahe_sharded_j(
+        ycrcb[..., 0], clip_limit=float(clip_limit), grid=grid, axis=axis
+    )
+    ycrcb = ycrcb.at[..., 0].set(y)
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
 register_op(
     "preprocessing.clahe",
     golden_fn=clahe_op_np,
@@ -292,6 +313,7 @@ register_op(
         {},
     ),
     global_stats=True,  # tile grid spans the frame
+    sharded_device_fn=clahe_op_sharded_j,
 )
 
 

@@ -238,6 +238,12 @@ def watershed_seg_j(
     return W.paint_boundaries_j(img, labels)
 
 
+def watershed_sharded(img, dyn, *, axis: str, **static):
+    from yamimageprocessor_tpu.ops.watershed_sharded import watershed_sharded_j
+
+    return watershed_sharded_j(img, dyn, axis=axis, **static)
+
+
 register_op(
     "segmentation.watershed",
     golden_fn=watershed_np,
@@ -251,6 +257,7 @@ register_op(
         {"factor": np.float32(p.get("distance_threshold_factor", 0.7))},
     ),
     global_stats=True,
+    sharded_device_fn=watershed_sharded,
 )
 
 
@@ -649,7 +656,7 @@ register_op(
 # Morphology quartet (core/segmentation.py:262-314)
 
 
-def _register_morph(identifier: str, np_fn, j_fn):
+def _register_morph(identifier: str, np_fn, j_fn, sharded_name: str):
     def golden(image, kernel_shape: str = "Rectangular", kernel_size: int = 3, iterations: int = 1):
         se = M.make_se(kernel_shape, int(kernel_size))
         return np_fn(image, se, int(iterations))
@@ -658,10 +665,22 @@ def _register_morph(identifier: str, np_fn, j_fn):
         se = M.make_se(kernel_shape, int(kernel_size))
         return j_fn(img, se, int(iterations))
 
+    def sharded(img, dyn, *, axis: str, kernel_shape: str = "Rectangular",
+                kernel_size: int = 3, iterations: int = 1):
+        # per-phase border fills (erode: dtype max, dilate: dtype min) make
+        # sharded morphology bit-exact at TRUE frame edges, which the
+        # generic mirror-halo path cannot (cv2 pads with extremes)
+        from yamimageprocessor_tpu.ops import watershed_sharded as WS
+
+        se = M.make_se(kernel_shape, int(kernel_size))
+        fn = getattr(WS, sharded_name)
+        return fn(img, se, int(iterations), axis)
+
     register_op(
         identifier,
         golden_fn=golden,
         device_fn=device,
+        sharded_device_fn=sharded,
         split=lambda p: (
             {
                 "kernel_shape": str(p.get("kernel_shape", "Rectangular")),
@@ -676,10 +695,10 @@ def _register_morph(identifier: str, np_fn, j_fn):
     )
 
 
-_register_morph("segmentation.opening", M.open_np, M.open_j)
-_register_morph("segmentation.closing", M.close_np, M.close_j)
-_register_morph("segmentation.dilation", M.dilate_np, M.dilate_j)
-_register_morph("segmentation.erosion", M.erode_np, M.erode_j)
+_register_morph("segmentation.opening", M.open_np, M.open_j, "open_sharded_j")
+_register_morph("segmentation.closing", M.close_np, M.close_j, "close_sharded_j")
+_register_morph("segmentation.dilation", M.dilate_np, M.dilate_j, "dilate_sharded_j")
+_register_morph("segmentation.erosion", M.erode_np, M.erode_j, "erode_sharded_j")
 
 
 # ---------------------------------------------------------------------------

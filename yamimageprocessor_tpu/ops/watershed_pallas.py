@@ -110,9 +110,9 @@ def _build_flood(
         @pl.when(jnp.logical_not(active))
         def _():
             out_ref[:] = lab_s[k : k + block_rows]
-            changed_ref[0, 0] = 0
-            frontier_ref[0, 0] = _SENT16
-            unknown_ref[0, 0] = 0
+            changed_ref[i] = 0
+            frontier_ref[i] = _SENT16
+            unknown_ref[i] = 0
 
         @pl.when(active)
         def _():
@@ -140,7 +140,7 @@ def _build_flood(
             lab = jax.lax.fori_loop(0, k, sweep, lab0)
             center = lab[k : k + block_rows]
             out_ref[:] = center
-            changed_ref[0, 0] = jnp.any(
+            changed_ref[i] = jnp.any(
                 center != lab0[k : k + block_rows]
             ).astype(jnp.int32)
             # frontier/unknown of the FINAL state (drives the level jump)
@@ -152,8 +152,8 @@ def _build_flood(
                 trig_cost[k : k + block_rows],
                 jnp.int32(_SENT16),
             )
-            frontier_ref[0, 0] = jnp.min(tc_c)
-            unknown_ref[0, 0] = jnp.sum(unk_c.astype(jnp.int32))
+            frontier_ref[i] = jnp.min(tc_c)
+            unknown_ref[i] = jnp.sum(unk_c.astype(jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # level, active flags
@@ -162,11 +162,12 @@ def _build_flood(
         out_specs=(
             pl.BlockSpec((block_rows, w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            # (nb, 1) scalar planes: rank-1 SMEM outputs with block (1,)
-            # fail Mosaic's tiling rule once nb > 1
-            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
+            # whole-array SMEM outputs persisted across the sequential
+            # grid (blocked SMEM scalars fail Mosaic's tiling rules); each
+            # block writes its own slot by program id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((r2, w), jnp.int32),
@@ -183,9 +184,9 @@ def _build_flood(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
+            jax.ShapeDtypeStruct((nb,), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -231,9 +232,6 @@ def _build_flood(
                 cl,
                 cr,
             )
-            new_changed = new_changed[:, 0]
-            new_frontier = new_frontier[:, 0]
-            new_unknown = new_unknown[:, 0]
             frontier = jnp.where(active, new_frontier, frontier)
             unknown = jnp.where(active, new_unknown, unknown)
             any_changed = jnp.sum(new_changed) > 0
@@ -266,7 +264,7 @@ def _build_flood(
     return run
 
 
-def flood_pallas(image, markers, *, block_rows: int = 128, k_sweeps: int = 8,
+def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
                  interpret: bool = False, force_active: bool = False):
     """Level-synchronous watershed flood, Pallas block edition.
 

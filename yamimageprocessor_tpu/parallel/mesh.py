@@ -130,7 +130,9 @@ def spatial_sharded_apply(
         cur = block
         for impl, static, dyn, halo in plans:
             dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
-            if impl.global_stats:
+            if impl.sharded_device_fn is not None:
+                # op-specific collective variant: exact everywhere, incl.
+                # true frame edges (op-correct border fills / psum'd stats)
                 cur = impl.sharded_device_fn(cur, dyn_j, axis=axis, **static)
             elif halo > 0:
                 padded = exchange_halo(cur, halo)
