@@ -1,19 +1,33 @@
 """Pallas/Mosaic TPU kernels for the gather/scatter-shaped hot ops.
 
 XLA's TPU lowering serializes per-pixel table gathers and scatter-adds
-(measured ~100x below roofline); the plain-XLA fallbacks in
-:mod:`yamimageprocessor_tpu.ops.lutops` sweep the 256 levels from HBM.
-These kernels fuse the sweep into a single HBM pass: each grid step stages
-a row-block in VMEM and runs the level sweep against on-chip data.
+(measured ~100x below roofline), and the VPU has no per-lane table
+gather, so ``lut[img]`` and ``zeros.at[img].add(1)`` are re-expressed as
+vectorized bit algorithms (the plain-XLA fallbacks in
+:mod:`yamimageprocessor_tpu.ops.lutops` use 256-level compare sweeps;
+these kernels replace the sweeps with O(log)/bitslice formulations):
 
-* :func:`lut_apply` — ``lut[img]`` for uint8 images, one HBM read/write.
-* :func:`histogram256` — per-block VMEM histograms accumulated across the
-  sequential TPU grid into one (256,) output.
+* :func:`lut_apply` — ``lut[img]``: the 256-entry table is packed 4
+  bytes per int32 word (64 words in SMEM); each pixel selects its word
+  through a 63-select binary tree keyed on bits 2..7 of the pixel and
+  extracts its byte with a per-lane variable shift.  ~75 VPU ops/pixel
+  vs the sweep's ~512 — measured 11.6 GPix/s vs 2.7 on a v5e chip.
+* :func:`histogram256` — carry-save bitsliced counting: each pixel
+  turns into a single set bit (``1 << (x & 31)``) in one of 8 int32
+  word-streams (``x >> 5``); per-lane bit-plane counters accumulate the
+  streams through a CSA (3:2 compressor) tree kept in VMEM scratch
+  across the sequential grid, and one final decode pass converts bit
+  planes to the (256,) counts.  Measured 12.5 GPix/s @4096^2 (26 @8192^2)
+  vs 2.2 for the sweep.
 
-Both fall back to the lutops implementations off-TPU (CPU tests run the
-fallback; TPU parity is asserted in the benchmark harness).
+Both are bit-exact (pure selection / exact counting) and fall back to
+the lutops implementations off-TPU (CPU tests run the fallback; TPU
+parity is asserted in the benchmark harness).
 """
 from __future__ import annotations
+
+import math
+
 
 def _row_block(h: int, max_rows: int = 512) -> int:
     rows = min(h, max_rows)
@@ -23,8 +37,39 @@ def _row_block(h: int, max_rows: int = 512) -> int:
     return max(rows, 1)
 
 
+def _pack_lut_words(lut):
+    """(256,) table -> (64,) int32, 4 consecutive entries per word."""
+    import jax.numpy as jnp
+
+    l32 = lut.astype(jnp.uint32)
+    return (
+        l32[0::4] | (l32[1::4] << 8) | (l32[2::4] << 16) | (l32[3::4] << 24)
+    ).astype(jnp.int32)
+
+
+def _select_word_tree(x, read_word, n_words: int, first_bit: int):
+    """Per-lane select of 1 of ``n_words`` SMEM words via a binary tree
+    keyed on bits ``first_bit..`` of ``x``.  ``read_word(i)`` returns
+    word i (a scalar); the tree runs log2(n_words) select levels."""
+    import jax.numpy as jnp
+
+    levels = int(math.log2(n_words))
+    bits = [(x & (1 << (first_bit + b))) != 0 for b in range(levels)]
+    level = [
+        jnp.where(bits[0], read_word(2 * i + 1), read_word(2 * i))
+        for i in range(n_words // 2)
+    ]
+    for b in range(1, levels):
+        level = [
+            jnp.where(bits[b], level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+    return level[0]
+
+
 def lut_apply(img, lut):
-    """``lut[img]`` (uint8 image, (256,) uint8 LUT) via a VMEM level sweep."""
+    """``lut[img]`` (uint8 image, (256,) uint8 LUT): packed-word select
+    tree + per-lane byte extraction, one HBM read/write, bit-exact."""
 
     import jax
     import jax.numpy as jnp
@@ -44,20 +89,16 @@ def lut_apply(img, lut):
         flat = jnp.pad(flat, (0, pad))
     work = flat.reshape(-1, 1024)
     h, w = work.shape
-    # 256x1024 blocks measured fastest on v5e (2.67 GPix/s vs 2.48 at 512
-    # rows): ~256K-element blocks leave headroom to overlap the next
-    # block's DMA with the sweep
-    rows = _row_block(h, max_rows=256)
+    # 128 rows: the 32 live tree intermediates (32 x rows x 1024 x 4B)
+    # must fit VMEM next to the in/out blocks; 128 measured fastest
+    # (11.6 GPix/s vs 10.7 at 32 rows)
+    rows = _row_block(h, max_rows=128)
 
-    def kernel(img_ref, lut_ref, out_ref):
+    def kernel(img_ref, w_ref, out_ref):
         x = img_ref[:].astype(jnp.int32)
-
-        def body(k, acc):
-            # lut lives in SMEM: dynamic scalar reads are legal there
-            return jnp.where(x == k, lut_ref[k], acc)
-
-        init = jnp.full(x.shape, lut_ref[0], dtype=jnp.int32)
-        out_ref[:] = jax.lax.fori_loop(1, 256, body, init).astype(jnp.uint8)
+        word = _select_word_tree(x, lambda i: w_ref[i], 64, 2)
+        sh = (x & 3) * 8
+        out_ref[:] = (jnp.right_shift(word, sh) & 255).astype(jnp.uint8)
 
     out = pl.pallas_call(
         kernel,
@@ -68,87 +109,19 @@ def lut_apply(img, lut):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(work, lut.astype(jnp.int32))
+    )(work, _pack_lut_words(lut))
     flat_out = out.reshape(-1)
     if pad:
         flat_out = flat_out[:-pad]
     return flat_out.reshape(orig_shape)
 
 
-def histogram256(img):
-    """(256,) int32 level counts for a uint8 image, one HBM pass."""
-
-    import jax
-    import jax.numpy as jnp
-
-    if jax.default_backend() != "tpu":
-        from yamimageprocessor_tpu.ops.lutops import histogram256_j
-
-        return histogram256_j(img)
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    flat = img.reshape(-1)
-    n = flat.shape[0]
-    pad = (-n) % 1024
-    if pad:
-        # pad with 0 and correct bin 0 afterwards
-        flat = jnp.pad(flat, (0, pad))
-    work = flat.reshape(-1, 1024)
-    h, w = work.shape
-    rows = _row_block(h)
-    if h % rows:
-        # the grid must tile the rows EXACTLY: a final partial block would
-        # read out-of-bounds rows of undefined data, and unlike lut_apply
-        # (whose overhang writes are simply discarded) this kernel COUNTS
-        # every lane it reads. Pad with zero rows and correct bin 0.
-        extra = rows - (h % rows)
-        work = jnp.pad(work, ((0, extra), (0, 0)))
-        pad += extra * w
-        h += extra
-
-    def kernel(img_ref, out_ref):
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
-        def _init():
-            def clear(k, _):
-                out_ref[k] = 0
-                return 0
-
-            jax.lax.fori_loop(0, 256, clear, 0)
-
-        x = img_ref[:].astype(jnp.int32)
-
-        def body(k, _):
-            count = jnp.sum((x == k).astype(jnp.int32))
-            out_ref[k] = out_ref[k] + count
-            return 0
-
-        jax.lax.fori_loop(0, 256, body, 0)
-
-    counts = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((256,), jnp.int32),
-        grid=(pl.cdiv(h, rows),),
-        in_specs=[
-            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )(work)
-    hist = counts
-    if pad:
-        hist = hist.at[0].add(-pad)
-    return hist
-
-
 def lut_apply_batch(imgs, luts):
     """Per-frame LUT apply in ONE pallas call: ``imgs`` (N, ...) uint8,
-    ``luts`` (N, 256).  The whole (N,256) table sits in SMEM and each grid
-    step reads its frame's row — this replaces the sequential per-frame
-    ``lax.map`` (8 dispatches for an 8-frame batch) with a single batched
-    sweep, which is what makes hist-equalization cheap inside vmapped
+    ``luts`` (N, 256).  The packed (N, 64) word table sits in SMEM and
+    each grid step runs the select tree against its frame's row — this
+    replaces the sequential per-frame ``lax.map`` with a single batched
+    dispatch, which is what makes hist-equalization cheap inside vmapped
     chains."""
 
     import jax
@@ -171,17 +144,15 @@ def lut_apply_batch(imgs, luts):
         flat = jnp.pad(flat, ((0, 0), (0, pad)))
     work = flat.reshape(n, -1, 1024)
     h, w = work.shape[1], work.shape[2]
-    rows = _row_block(h, max_rows=256)
+    rows = _row_block(h, max_rows=128)
+    words = jax.vmap(_pack_lut_words)(luts)  # (N, 64)
 
-    def kernel(img_ref, lut_ref, out_ref):
+    def kernel(img_ref, w_ref, out_ref):
         frame = pl.program_id(0)
         x = img_ref[0].astype(jnp.int32)
-
-        def body(k, acc):
-            return jnp.where(x == k, lut_ref[frame, k], acc)
-
-        init = jnp.full(x.shape, lut_ref[frame, 0], dtype=jnp.int32)
-        out_ref[0] = jax.lax.fori_loop(1, 256, body, init).astype(jnp.uint8)
+        word = _select_word_tree(x, lambda i: w_ref[frame, i], 64, 2)
+        sh = (x & 3) * 8
+        out_ref[0] = (jnp.right_shift(word, sh) & 255).astype(jnp.uint8)
 
     out = pl.pallas_call(
         kernel,
@@ -196,20 +167,179 @@ def lut_apply_batch(imgs, luts):
         out_specs=pl.BlockSpec(
             (1, rows, w), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
         ),
-    )(work, luts.astype(jnp.int32))
+    )(work, words)
     flat_out = out.reshape(n, -1)
     if pad:
         flat_out = flat_out[:, : flat.shape[1] - pad]
     return flat_out.reshape(imgs.shape)
 
 
-def histogram256_batch(imgs):
-    """(N, ...) uint8 → (N, 256) int32 histograms in ONE pallas call.
+_CHUNK = 8  # vreg sublane height: the CSA word granularity
 
-    Per-frame rows of the SMEM output accumulate across the sequential
-    row-block grid; frames are padded to a whole number of blocks so the
-    kernel never counts out-of-bounds lanes (same overhang rule as
-    :func:`histogram256`)."""
+
+def _csa_tree(words):
+    """Reduce 0/1-bitmask int32 arrays to bit-plane counters
+    (count = sum_d 2^d * bit(plane_d)) with 3:2 compressors."""
+    n = len(words)
+    if n == 1:
+        return [words[0]]
+    half = n // 2
+    left = _csa_tree(words[:half])
+    right = _csa_tree(words[half:])
+    out = []
+    carry = None
+    for d in range(max(len(left), len(right))):
+        a = left[d] if d < len(left) else None
+        b = right[d] if d < len(right) else None
+        terms = [t for t in (a, b, carry) if t is not None]
+        if len(terms) == 1:
+            out.append(terms[0])
+            carry = None
+        elif len(terms) == 2:
+            out.append(terms[0] ^ terms[1])
+            carry = terms[0] & terms[1]
+        else:
+            x, y, z = terms
+            out.append(x ^ y ^ z)
+            carry = (x & y) | (z & (x ^ y))
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def _hist_grid(flat, max_rows):
+    """Pad a flat uint8 vector into (h, 1024) tiled by ``rows`` blocks."""
+    import jax.numpy as jnp
+
+    n0 = flat.shape[0]
+    pad = (-n0) % 1024
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    work = flat.reshape(-1, 1024)
+    h = work.shape[0]
+    # the grid must tile the rows EXACTLY and rows must be a multiple of
+    # the CSA chunk height: this kernel COUNTS every lane it reads, so
+    # overhang rows are zero-padded and bin 0 is corrected afterwards
+    rows = max(_CHUNK, (min(h, max_rows) // _CHUNK) * _CHUNK)
+    if h % rows:
+        extra = rows - (h % rows)
+        work = jnp.pad(work, ((0, extra), (0, 0)))
+        pad += extra * 1024
+        h += extra
+    return work, h, rows, pad
+
+
+def _hist_kernel_body(x, acc_ref, depth: int, nchunks: int):
+    """One grid step of CSA accumulation: 8 word-streams, ripple-added
+    into the persistent bit-plane scratch."""
+    import jax.numpy as jnp
+
+    one = jnp.left_shift(jnp.int32(1), x & 31)
+    hi3 = x >> 5
+    for j in range(8):
+        wj = jnp.where(hi3 == j, one, 0)
+        words = [wj[c * _CHUNK : (c + 1) * _CHUNK, :] for c in range(nchunks)]
+        new = _csa_tree(words)
+        carry = None
+        for d in range(depth):
+            a = acc_ref[j * depth + d]
+            terms = [a]
+            if d < len(new):
+                terms.append(new[d])
+            if carry is not None:
+                terms.append(carry)
+            if len(terms) == 1:
+                break
+            if len(terms) == 2:
+                s = terms[0] ^ terms[1]
+                carry = terms[0] & terms[1]
+            else:
+                p, q, r = terms
+                s = p ^ q ^ r
+                carry = (p & q) | (r & (p ^ q))
+            acc_ref[j * depth + d] = s
+
+
+def _hist_decode(out_ref, acc_ref, depth: int, row_fn):
+    """Bit-plane -> (256,) decode; ``row_fn(k)`` maps bin k to the SMEM
+    output index (identity for single frames, (frame, k) for batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    for j in range(8):
+
+        def body(b, _, j=j):
+            cnt = jnp.zeros((_CHUNK, 1024), jnp.int32)
+            for d in range(depth):
+                cnt = cnt + (
+                    jnp.right_shift(acc_ref[j * depth + d], b) & 1
+                ) * (1 << d)
+            out_ref[row_fn(j * 32 + b)] = jnp.sum(cnt)
+            return 0
+
+        jax.lax.fori_loop(0, 32, body, 0)
+
+
+def _hist_depth(total_chunks: int) -> int:
+    # +1 headroom so the final ripple carry never overflows the planes
+    return max(6, math.ceil(math.log2(total_chunks + 1)) + 1)
+
+
+def histogram256(img):
+    """(256,) int32 level counts for a uint8 image — CSA bitslice."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+        return histogram256_j(img)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    work, h, rows, pad = _hist_grid(img.reshape(-1), max_rows=512)
+    nsteps = h // rows
+    nchunks = rows // _CHUNK
+    depth = _hist_depth(nsteps * nchunks)
+
+    def kernel(img_ref, out_ref, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        _hist_kernel_body(
+            img_ref[:].astype(jnp.int32), acc_ref, depth, nchunks
+        )
+
+        @pl.when(step == nsteps - 1)
+        def _decode():
+            _hist_decode(out_ref, acc_ref, depth, lambda k: k)
+
+    counts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((256,), jnp.int32),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((rows, 1024), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8 * depth, _CHUNK, 1024), jnp.int32)
+        ],
+    )(work)
+    hist = counts
+    if pad:
+        hist = hist.at[0].add(-pad)
+    return hist
+
+
+def histogram256_batch(imgs):
+    """(N, ...) uint8 → (N, 256) int32 histograms in ONE pallas call;
+    the CSA scratch is reset/decoded per frame along the major grid dim."""
 
     import jax
     import jax.numpy as jnp
@@ -228,45 +358,46 @@ def histogram256_batch(imgs):
     if pad:
         flat = jnp.pad(flat, ((0, 0), (0, pad)))
     work = flat.reshape(n, -1, 1024)
-    h, w = work.shape[1], work.shape[2]
-    rows = _row_block(h, max_rows=256)
+    h = work.shape[1]
+    rows = max(_CHUNK, (min(h, 512) // _CHUNK) * _CHUNK)
     if h % rows:
         extra = rows - (h % rows)
         work = jnp.pad(work, ((0, 0), (0, extra), (0, 0)))
-        pad += extra * w
+        pad += extra * 1024
         h += extra
+    nsteps = h // rows
+    nchunks = rows // _CHUNK
+    depth = _hist_depth(nsteps * nchunks)
 
-    def kernel(img_ref, out_ref):
+    def kernel(img_ref, out_ref, acc_ref):
         frame = pl.program_id(0)
         step = pl.program_id(1)
 
         @pl.when(step == 0)
         def _init():
-            def clear(k, _):
-                out_ref[frame, k] = 0
-                return 0
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            jax.lax.fori_loop(0, 256, clear, 0)
+        _hist_kernel_body(
+            img_ref[0].astype(jnp.int32), acc_ref, depth, nchunks
+        )
 
-        x = img_ref[0].astype(jnp.int32)
-
-        def body(k, _):
-            count = jnp.sum((x == k).astype(jnp.int32))
-            out_ref[frame, k] = out_ref[frame, k] + count
-            return 0
-
-        jax.lax.fori_loop(0, 256, body, 0)
+        @pl.when(step == nsteps - 1)
+        def _decode():
+            _hist_decode(out_ref, acc_ref, depth, lambda k: (frame, k))
 
     counts = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 256), jnp.int32),
-        grid=(n, h // rows),
+        grid=(n, nsteps),
         in_specs=[
             pl.BlockSpec(
-                (1, rows, w), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
+                (1, rows, 1024), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8 * depth, _CHUNK, 1024), jnp.int32)
+        ],
     )(work)
     if pad:
         counts = counts.at[:, 0].add(-pad)
@@ -277,9 +408,9 @@ _batchable_histogram = None
 
 
 def histogram256_batchable():
-    """vmap-safe wrapper: single frames hit the pallas kernel; under vmap a
-    custom batching rule maps frames sequentially (the SMEM output block is
-    not batchable directly)."""
+    """vmap-safe wrapper: single frames hit the pallas kernel; under vmap
+    a custom batching rule dispatches the one-call batched kernel (the
+    SMEM output block is not batchable directly)."""
 
     global _batchable_histogram
     if _batchable_histogram is not None:
@@ -293,12 +424,8 @@ def histogram256_batchable():
 
     @hist.def_vmap
     def _rule(axis_size, in_batched, img):  # noqa: ANN001
-        # measured on v5e: within-jit lax.map of the single-frame kernel
-        # pipelines to 8.0 GPix/s vs 7.6 for the (N,256)-SMEM batched kernel
-        # (2-D SMEM accumulation is slightly slower); keep the map here and
-        # the batched kernel for callers that want one dispatch
         del axis_size
-        return jax.lax.map(histogram256, img), True
+        return histogram256_batch(img), True
 
     _batchable_histogram = hist
     return hist
@@ -309,8 +436,8 @@ _batchable_lut = None
 
 def lut_apply_batchable():
     """vmap-safe LUT apply: handles batched images with per-frame LUTs
-    (histogram equalization under a vmapped chain) by mapping frames
-    sequentially; the plain kernel covers the unbatched/shared-LUT cases."""
+    (histogram equalization under a vmapped chain) via the one-call
+    batched kernel; the plain kernel covers the unbatched cases."""
 
     global _batchable_lut
     if _batchable_lut is not None:
