@@ -174,10 +174,13 @@ def _extra_segmentation_fps() -> None:
 
     dev = jax.device_put(frame)
     int(np.asarray(run(dev)))  # compile + warm
-    reps = 3
+    reps = 5
+    # dispatch all reps, sync once: frames/s must measure the chain, not
+    # the relay's per-call host sync latency
     start = time.perf_counter()
-    for _ in range(reps):
-        int(np.asarray(run(dev)))
+    outs = [run(dev) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    int(np.asarray(outs[-1]))
     elapsed = time.perf_counter() - start
     _stderr(
         {

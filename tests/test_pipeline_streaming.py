@@ -192,6 +192,47 @@ def test_normalize_streams_without_materializing():
     assert (out == dense).all()
 
 
+def test_uniform_grid_streams_same_shape_windows():
+    """Exact tile grids take the batched fast path: every source read is
+    the SAME-shape shifted halo window (edge tiles shift inward instead of
+    shrinking), tiles are emitted in reference row-major order, and the
+    result matches dense bit-for-bit."""
+
+    array = _frame(96, 128)
+    record = _SyntheticStreamingRecord(array)
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        ),
+        PipelineStep(
+            name="histogram_equalization",
+            op_id="preprocessing.histogram_equalization",
+            stage=Stage.PREPROCESSING,
+            params={},
+        ),
+    ]
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    emitted = []
+    out = np.zeros_like(array)
+
+    def on_tile(box, tile):
+        emitted.append(tuple(box))
+        left, top, right, bottom = box
+        out[top:bottom, left:right] = tile
+
+    stream_steps_tiled(steps, record, on_tile, tile_size=(32, 32))
+    # every read is a full-size halo window (halo 2 -> 36x36), shifted
+    # inward at the frame edges rather than clipped
+    sizes = {(r - l, b - t) for (l, t, r, b) in record.read_boxes}
+    assert sizes == {(36, 36)}
+    assert emitted == list(iter_tile_boxes(128, 96, (32, 32)))
+    dense = PipelineManager(steps).apply_host(array)
+    assert (out == dense).all()
+
+
 def test_frame_coupled_op_falls_back_to_dense():
     """Watershed genuinely needs the frame; the dense fallback remains for
     frame-coupled ops only."""

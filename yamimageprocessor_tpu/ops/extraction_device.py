@@ -229,14 +229,28 @@ def use_device_extraction() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_region_features_jit = None
+
+
+def _jitted_region_features():
+    """Module-cached jit wrapper: a fresh ``jax.jit`` per call would
+    re-trace every invocation (the data path is called per file in mass
+    extraction)."""
+
+    global _region_features_jit
+    if _region_features_jit is None:
+        import jax
+
+        _region_features_jit = jax.jit(region_features_j)
+    return _region_features_jit
+
+
 def region_table_device(img) -> Dict[str, np.ndarray]:
     """Host-facing per-region table from the device kernels: pulls the
     padded feature arrays plus the labels (for the host hull/solidity
     finalization) and trims to the true region count."""
 
-    import jax
-
-    labels, feats = jax.jit(region_features_j)(img)
+    labels, feats = _jitted_region_features()(img)
     host = {k: np.asarray(v) for k, v in feats.items()}
     labels = np.asarray(labels)
     n = int(host["count"])

@@ -238,6 +238,33 @@ def _stream_with_stats(
         plans.append((impl, static, dyn, halo))
     global_indices = [i for i, p in enumerate(plans) if p[0].global_stats]
 
+    if tsize is not None:
+        tw, th = int(tsize[0]), int(tsize[1])
+        halo_all = sum(p[3] for p in plans)
+        if (
+            width % tw == 0
+            and height % th == 0
+            and (width // tw) * (height // th) > 1
+            and width >= tw + 2 * halo_all
+            and height >= th + 2 * halo_all
+        ):
+            # uniform-grid fast path: same-shape shifted halo windows for
+            # every tile -> batched stacks, one fused dispatch per batch
+            # per pass (dispatch latency, not compute, dominates streaming
+            # on high-latency links)
+            _stream_uniform(
+                plans,
+                global_indices,
+                image,
+                on_tile,
+                tw,
+                th,
+                width,
+                height,
+                frame_shape,
+            )
+            return
+
     def make_runner(upto: int):
         """Jitted ``fn(region, stats_list) -> region`` over steps[0:upto];
         stats_list carries resolved stats for the global steps in order."""
@@ -315,6 +342,185 @@ def _stream_with_stats(
         inflight.append((box, ebox, runner(region, resolved)))
         drain(_INFLIGHT)
     drain(0)
+
+
+# device-resident source cache budget for multi-pass streaming (bytes)
+_DEVICE_CACHE_BYTES = 2 << 30
+
+# jitted executables per (chain plan, geometry): a fresh jax.jit wrapper
+# per stream call would re-lower and re-request compilation every run
+_UNIFORM_JIT_CACHE: dict = {}
+
+
+def _plan_key(plans, frame_shape, tw, th):
+    parts = []
+    for impl, static, dyn, halo in plans:
+        dyn_part = tuple(
+            sorted(
+                (k, np.asarray(v).dtype.str, np.asarray(v).tobytes())
+                for k, v in dyn.items()
+            )
+        )
+        parts.append(
+            (impl.identifier, tuple(sorted(static.items())), dyn_part, halo)
+        )
+    return (tuple(parts), tuple(frame_shape), tw, th)
+
+
+def _uniform_executables(plans, global_indices, frame_shape, tw, th):
+    """(per-global batch-stats fns, merge fns, batch-final fn), jit-cached
+    across stream calls."""
+
+    key = _plan_key(plans, frame_shape, tw, th)
+    hit = _UNIFORM_JIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.registry import call_with_position
+
+    def run_steps(cur, stats_list, upto: int):
+        si = 0
+        for i in range(upto):
+            impl, static, dyn, _ = plans[i]
+            dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+            if impl.global_stats:
+                cur = call_with_position(
+                    impl.apply_stats_fn,
+                    cur,
+                    stats_list[si],
+                    dyn_j,
+                    frame_shape=frame_shape,
+                    **static,
+                )
+                si += 1
+            else:
+                cur = impl.device_fn(cur, dyn_j, **static)
+        return cur
+
+    def center(out, y0, x0):
+        out = jax.lax.dynamic_slice_in_dim(out, y0, th, axis=0)
+        return jax.lax.dynamic_slice_in_dim(out, x0, tw, axis=1)
+
+    stats_fns = []
+    merge_fns = []
+    for g in global_indices:
+        impl_g, static_g, dyn_g, _ = plans[g]
+        dyn_gj = {k: np.asarray(v) for k, v in dyn_g.items()}
+
+        @jax.jit
+        def batch_stats(stack, y0v, x0v, res, _impl=impl_g, _st=static_g, _dy=dyn_gj, _g=g):
+            def one(region, y0, x0):
+                out = run_steps(region, res, _g)
+                return call_with_position(
+                    _impl.tile_stats_fn,
+                    center(out, y0, x0),
+                    {k: jnp.asarray(v) for k, v in _dy.items()},
+                    frame_shape=frame_shape,
+                    **_st,
+                )
+
+            contribs = jax.vmap(one)(stack, y0v, x0v)
+            acc = jax.tree_util.tree_map(lambda a: a[0], contribs)
+            for i in range(1, stack.shape[0]):
+                acc = _impl.merge_stats_fn(
+                    acc, jax.tree_util.tree_map(lambda a, _i=i: a[_i], contribs)
+                )
+            return acc
+
+        stats_fns.append(batch_stats)
+        merge_fns.append(jax.jit(impl_g.merge_stats_fn))
+
+    @jax.jit
+    def batch_final(stack, y0v, x0v, res):
+        def one(region, y0, x0):
+            return center(run_steps(region, res, len(plans)), y0, x0)
+
+        return jax.vmap(one)(stack, y0v, x0v)
+
+    entry = (stats_fns, merge_fns, batch_final)
+    _UNIFORM_JIT_CACHE[key] = entry
+    return entry
+
+
+def _stream_uniform(
+    plans: List[Tuple[Any, dict, dict, int]],
+    global_indices: List[int],
+    image: Any,
+    on_tile: Callable[[TileBox, np.ndarray], None],
+    tw: int,
+    th: int,
+    width: int,
+    height: int,
+    frame_shape: Tuple[int, ...],
+) -> None:
+    """Uniform-grid multi-pass streaming: every tile reads the SAME-shape
+    halo window (shifted inward at frame edges), so tiles batch into
+    stacks and each (batch, pass) is ONE fused device dispatch — the
+    per-tile crop rides a vmapped ``dynamic_slice`` on the per-tile
+    offsets.  Stats accumulate and merge entirely on device (no host
+    syncs between tiles); uploaded stacks are kept device-resident across
+    the G+1 passes when they fit the cache budget."""
+
+    import jax.numpy as jnp
+
+    halo = sum(p[3] for p in plans)
+    eh, ew = th + 2 * halo, tw + 2 * halo
+    boxes = list(iter_tile_boxes(width, height, (tw, th)))
+    windows = []
+    offsets = []
+    for left, top, right, bottom in boxes:
+        wtop = min(max(top - halo, 0), height - eh)
+        wleft = min(max(left - halo, 0), width - ew)
+        windows.append((wleft, wtop, wleft + ew, wtop + eh))
+        offsets.append((top - wtop, left - wleft))
+
+    batches = [
+        slice(i, min(i + _TILE_BATCH, len(boxes)))
+        for i in range(0, len(boxes), _TILE_BATCH)
+    ]
+
+    def upload(sl: slice):
+        regions = np.stack(
+            [np.asarray(image.read_region(w)) for w in windows[sl]]
+        )
+        y0 = np.array([o[0] for o in offsets[sl]], np.int32)
+        x0 = np.array([o[1] for o in offsets[sl]], np.int32)
+        return jnp.asarray(regions), jnp.asarray(y0), jnp.asarray(x0)
+
+    probe = np.asarray(image.read_region(windows[0]))
+    total_bytes = probe.nbytes * len(boxes)
+    cache: List[Any] = []
+
+    def stacks():
+        if cache:
+            yield from cache
+            return
+        keep = total_bytes <= _DEVICE_CACHE_BYTES
+        for sl in batches:
+            entry = upload(sl)
+            if keep:
+                cache.append(entry)
+            yield entry
+
+    stats_fns, merge_fns, batch_final = _uniform_executables(
+        plans, global_indices, frame_shape, tw, th
+    )
+
+    resolved: List[Any] = []
+    for batch_stats, merge in zip(stats_fns, merge_fns):
+        acc = None
+        for stack, y0v, x0v in stacks():
+            contrib = batch_stats(stack, y0v, x0v, resolved)
+            acc = contrib if acc is None else merge(acc, contrib)
+        resolved.append(acc)
+
+    for sl, (stack, y0v, x0v) in zip(batches, stacks()):
+        outs = np.asarray(batch_final(stack, y0v, x0v, resolved))
+        for out, box in zip(outs, boxes[sl]):
+            on_tile(box, out)
 
 
 def apply_steps_tiled(
