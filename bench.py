@@ -192,6 +192,66 @@ def _extra_segmentation_fps() -> None:
     )
 
 
+def _extra_batched_clahe() -> None:
+    """BASELINE config 2: 64-frame batch through the fused
+    Gaussian+CLAHE+color-transform chain (frames generated on device —
+    the metric isolates chain throughput from host-link bandwidth)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+    from yamimageprocessor_tpu.pipeline.manager import PipelineStep
+
+    batch, side = 64, 1024
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        ),
+        PipelineStep(
+            name="CLAHE",
+            op_id="preprocessing.clahe",
+            stage=Stage.PREPROCESSING,
+            params={"clip_limit": 2.0, "grid_size": 4},
+        ),
+        PipelineStep(
+            name="SelectChannel",
+            op_id="preprocessing.select_channel",
+            stage=Stage.PREPROCESSING,
+            params={"value": "RG"},
+        ),
+    ]
+    shape = (batch, side, side, 3)
+    chain = get_compiled_chain(steps, shape, np.uint8, batch=batch)
+    fn, dyn = chain.pure_callable()
+
+    @jax.jit
+    def run(seed):
+        frames = jax.random.randint(
+            jax.random.PRNGKey(seed), shape, 0, 256, jnp.uint8
+        )
+        return jnp.sum(fn(frames, dyn)[-1].astype(jnp.uint32))
+
+    int(np.asarray(run(0)))  # compile + warm
+    reps = 3
+    start = time.perf_counter()
+    outs = [run(i) for i in range(reps)]
+    jax.block_until_ready(outs)
+    int(np.asarray(outs[-1]))
+    elapsed = time.perf_counter() - start
+    _stderr(
+        {
+            "extra": "batched_clahe_chain",
+            "value": round(reps * batch * side * side / 1e6 / elapsed, 1),
+            "unit": "MPix/s",
+            "config": f"{batch}x{side}^2 BGR, Gaussian+CLAHE+channel-mix",
+        }
+    )
+
+
 def _extra_extraction() -> None:
     """BASELINE config 4: per-region shape/intensity features over labeled
     masks (region_properties data path)."""
@@ -289,6 +349,7 @@ def main() -> None:
     for name, extra in (
         ("parity", _extra_parity),
         ("segmentation_fps", _extra_segmentation_fps),
+        ("batched_clahe", _extra_batched_clahe),
         ("extraction", _extra_extraction),
         ("gigapixel", _extra_gigapixel),
     ):

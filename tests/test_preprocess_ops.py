@@ -293,6 +293,33 @@ def test_clahe_matches_cv2_padded(shape):
     )
 
 
+def test_clahe_blend_pallas_interpret_parity():
+    """The TPU fast-path blend kernel (half-tile select trees) is
+    bit-identical to the 256-level sweep blend — checked via pallas
+    interpret mode on the CPU harness."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import clahe as CL
+    from yamimageprocessor_tpu.ops.clahe_pallas import (
+        clahe_blend_pallas,
+        clahe_tile_histograms,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    gh = gw = 8
+    work = jnp.asarray(img)
+    hist = clahe_tile_histograms(work, (gh, gw)).reshape(gh, gw, 256)
+    luts = CL._clip_and_lut_j(hist, 2.0, (128 // gh) * (128 // gw))
+    interp = CL._interp_weights(128, 128, (gh, gw))
+    out = np.asarray(
+        clahe_blend_pallas(work, luts, interp, (gh, gw), interpret=True)
+    )
+    ref = np.asarray(CL.clahe_j(work, clip_limit=2.0, grid=(gh, gw)))
+    assert (out == ref).all()
+
+
 def test_clahe_color(bgr):
     impl = get_impl("preprocessing.clahe")
     out = impl.golden_fn(bgr, clip_limit=2.0, grid_size=4)

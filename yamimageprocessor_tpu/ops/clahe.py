@@ -133,6 +133,46 @@ def _clip_and_lut_j(hist, clip_limit: float, area: int):
     )
 
 
+_FAST_CACHE: dict = {}
+
+
+def _clahe_fast(clip_limit: float, grid: Tuple[int, int], shape):
+    """vmap-safe single-frame fast path (pallas calls have no batching
+    rule, so batched chains map frames sequentially under the hood);
+    cached per (clip, grid, shape) so jit tracing reuses one wrapper."""
+
+    key = (clip_limit, grid, tuple(shape))
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    import jax
+
+    from yamimageprocessor_tpu.ops.clahe_pallas import (
+        clahe_blend_pallas,
+        clahe_tile_histograms,
+    )
+
+    gh, gw = grid
+    h, w = shape
+    area = (h // gh) * (w // gw)
+    interp = _interp_weights(h, w, grid)
+
+    @jax.custom_batching.custom_vmap
+    def fast(work):
+        hist = clahe_tile_histograms(work, grid).reshape(gh, gw, 256)
+        luts = _clip_and_lut_j(hist, clip_limit, area)
+        return clahe_blend_pallas(work, luts, interp, grid)
+
+    @fast.def_vmap
+    def _rule(axis_size, in_batched, work):  # noqa: ANN001
+        del axis_size, in_batched
+        return jax.lax.map(fast, work), True
+
+    _FAST_CACHE[key] = fast
+    return fast
+
+
 def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
     import jax
     import jax.numpy as jnp
@@ -145,6 +185,18 @@ def clahe_j(gray, *, clip_limit: float = 40.0, grid: Tuple[int, int] = (8, 8)):
     h, w = work.shape
     th, tw = h // gh, w // gw
     area = th * tw
+
+    if (
+        jax.default_backend() == "tpu"
+        and th % 2 == 0
+        and tw % 2 == 0
+        and th >= 16
+        and tw >= 256
+    ):
+        # pallas fast path: CSA tile histograms + half-tile select-tree
+        # blend — same LUT math, same f32 blend order (bit parity with the
+        # sweep below); small tiles stay on the sweep (block alignment)
+        return _clahe_fast(float(clip_limit), grid, (h, w))(work)[:h0, :w0]
 
     tiles = work.reshape(gh, th, gw, tw).astype(jnp.int32)
 

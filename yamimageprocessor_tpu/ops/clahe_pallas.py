@@ -1,0 +1,155 @@
+"""Pallas TPU kernel for the CLAHE bilinear LUT blend.
+
+The plain-XLA blend (``clahe.clahe_j``) sweeps all 256 levels per pixel,
+upsampling four corner tables per level (~10 ops/pixel/level).  This
+kernel exploits the interpolation structure instead: within a HALF-TILE
+block of the CLAHE grid the four corner tiles (y0, y1, x0, x1) are
+constants, so each pixel needs exactly four table lookups — done with the
+packed-word select tree from :mod:`yamimageprocessor_tpu.pallas_kernels`
+(tables packed 4 bytes/int32, 63 selects + a per-lane variable shift per
+lookup) — and one fused bilinear combine in the SAME f32 term order as
+``clahe_j`` (bit parity).
+
+Per-tile histograms reuse the CSA bitslice batch histogram; the
+clip/redistribute/cdf LUT math is shared (``clahe._clip_and_lut_j``).
+
+Constraints: grid-divisible frame with EVEN tile sides (half-tile blocks
+must tile exactly); anything else falls back to ``clahe_j``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+
+def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
+                       interpret: bool = False):
+    """``vals`` (h, w) int/uint8 gray; ``luts`` (gh, gw, 256) f32 integer
+    tables; ``interp`` = ((y0, y1, fy), (x0, x1, fx)) host arrays from
+    ``clahe._interp_weights``.  Returns the blended uint8 frame."""
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gh, gw = grid
+    h, w = vals.shape
+    th, tw = h // gh, w // gw
+    bh, bw = th // 2, tw // 2
+    nby, nbx = h // bh, w // bw  # = 2gh x 2gw
+
+    (y0, y1, fy), (x0, x1, fx) = interp
+    # per half-band corner indices (constant within a block, by construction
+    # of the interpolation: bands of constant (y0, y1) are th/2-aligned)
+    by0 = np.asarray(y0[::bh], np.int32)
+    by1 = np.asarray(y1[::bh], np.int32)
+    bx0 = np.asarray(x0[::bw], np.int32)
+    bx1 = np.asarray(x1[::bw], np.int32)
+    assert (np.asarray(y0).reshape(nby, bh) == by0[:, None]).all()
+    assert (np.asarray(x0).reshape(nbx, bw) == bx0[:, None]).all()
+
+    # pack each (256,) table into 64 int32 words, 4 consecutive entries per
+    # word (tables are integer-valued 0..255)
+    l32 = luts.astype(jnp.int32)
+    words = (
+        l32[..., 0::4]
+        | (l32[..., 1::4] << 8)
+        | (l32[..., 2::4] << 16)
+        | (l32[..., 3::4] << 24)
+    )  # (gh, gw, 64)
+
+    fy_col = jnp.asarray(fy, jnp.float32).reshape(h, 1)
+    fx_row = jnp.asarray(fx, jnp.float32).reshape(1, w)
+
+    def tree_lookup(x, read_word):
+        bits = [(x & (1 << (2 + b))) != 0 for b in range(6)]
+        level = [
+            jnp.where(bits[0], read_word(2 * i + 1), read_word(2 * i))
+            for i in range(32)
+        ]
+        for b in range(1, 6):
+            level = [
+                jnp.where(bits[b], level[2 * i + 1], level[2 * i])
+                for i in range(len(level) // 2)
+            ]
+        sh = (x & 3) * 8
+        return (jnp.right_shift(level[0], sh) & 255).astype(jnp.float32)
+
+    def kernel(by0_r, by1_r, bx0_r, bx1_r, v_ref, w_ref, fy_ref, fx_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ty0 = by0_r[i]
+        ty1 = by1_r[i]
+        tx0 = bx0_r[j]
+        tx1 = bx1_r[j]
+        x = v_ref[:].astype(jnp.int32)
+        t00 = tree_lookup(x, lambda k: w_ref[ty0, tx0, k])
+        t01 = tree_lookup(x, lambda k: w_ref[ty0, tx1, k])
+        t10 = tree_lookup(x, lambda k: w_ref[ty1, tx0, k])
+        t11 = tree_lookup(x, lambda k: w_ref[ty1, tx1, k])
+        fy2 = fy_ref[:]
+        fx2 = fx_ref[:]
+        w00 = (1 - fy2) * (1 - fx2)
+        w01 = (1 - fy2) * fx2
+        w10 = fy2 * (1 - fx2)
+        w11 = fy2 * fx2
+        out = w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+        out_ref[:] = (
+            jnp.clip(jnp.rint(out), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # by0, by1, bx0, bx1
+        grid=(nby, nbx),
+        in_specs=[
+            pl.BlockSpec((bh, bw), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed tables
+            pl.BlockSpec((bh, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        interpret=interpret,
+    )(
+        jnp.asarray(by0),
+        jnp.asarray(by1),
+        jnp.asarray(bx0),
+        jnp.asarray(bx1),
+        vals.astype(jnp.int32),
+        words,
+        fy_col,
+        fx_row,
+    )
+    return out
+
+
+def clahe_tile_histograms(work, grid: Tuple[int, int]):
+    """(gh*gw, 256) histograms of the grid tiles via the CSA batch kernel
+    (falls back to the XLA sweep off-TPU inside histogram256_batch)."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_batch
+
+    gh, gw = grid
+    h, w = work.shape
+    th, tw = h // gh, w // gw
+    tiles = (
+        work.reshape(gh, th, gw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(gh * gw, th, tw)
+    )
+    return histogram256_batch(tiles.astype(jnp.uint8))
+
+
+__all__ = ["clahe_blend_pallas", "clahe_tile_histograms"]
