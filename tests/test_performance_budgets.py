@@ -52,3 +52,175 @@ def test_watershed_budget(rng):
     manager.apply(np.repeat(frame[..., None], 3, axis=-1))
     elapsed = time.monotonic() - start
     assert elapsed < 10.0, f"watershed took {elapsed:.2f}s"
+
+
+# ---------------------------------------------------------------------------
+# BASELINE-size budgets on the real accelerator (skipped off-TPU).  Floors
+# are set ~40% under the numbers measured on a v5e chip (BENCH_r02 /
+# docs/PARITY.md) so regressions in the hard paths fail a marked test
+# instead of silently rotting, while relay jitter doesn't flake them.
+
+
+def _tpu_or_skip():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("BASELINE budgets require the TPU backend")
+    return jax
+
+
+def _dense_scene(side: int, seed: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = np.zeros((side, side), np.uint8)
+    yy, xx = np.mgrid[:side, :side]
+    pitch = 128
+    for cy in range(pitch // 2, side, pitch):
+        for cx in range(pitch // 2, side, pitch):
+            r = 40 + int(rng.integers(0, 12))
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 170 + int(
+                rng.integers(0, 60)
+            )
+    noise = rng.integers(-12, 13, img.shape)
+    return (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+
+
+def test_tpu_preprocess_chain_budget(rng):
+    """BASELINE configs 1-2: the flagship chain on an 8x2048^2 batch must
+    sustain >= 8 GPix*steps/s single chip (measured 16.6)."""
+
+    jax = _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.models.stages import flagship_chain
+
+    frames = rng.integers(0, 256, (8, 2048, 2048), dtype=np.uint8)
+    fn, dyn = flagship_chain(frames.shape, frames.dtype)
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+
+    dev = jax.device_put(frames)
+    int(np.asarray(run(dev)))
+    reps = 3
+    start = time.monotonic()
+    outs = [run(dev) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    elapsed = time.monotonic() - start
+    rate = reps * 8 * 2048 * 2048 * 3 / 1e9 / elapsed
+    assert rate > 8.0, f"{rate:.2f} GPix*steps/s"
+
+
+def test_tpu_watershed_4096_budget():
+    """BASELINE config 3 at full size: threshold+open+close+watershed on a
+    4096^2 dense scene in bounded wall time (cv2 reference: 2.3s @4096^2
+    on host)."""
+
+    jax = _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    frame = _dense_scene(4096)
+    steps = segmentation_steps(watershed=True)
+    chain = get_compiled_chain(steps, frame.shape, frame.dtype)
+    fn, dyn = chain.pure_callable()
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+
+    dev = jax.device_put(frame)
+    int(np.asarray(run(dev)))
+    start = time.monotonic()
+    out = run(dev)
+    jax.block_until_ready(out)
+    elapsed = time.monotonic() - start
+    assert elapsed < 2.3, f"4096^2 segmentation chain took {elapsed:.2f}s"
+
+
+def test_tpu_segmentation_2048_fps_budget():
+    """BASELINE config 3 headline: 2048^2 dense-scene chain >= 3 fps
+    (measured ~4.6)."""
+
+    jax = _tpu_or_skip()
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    frame = _dense_scene(2048)
+    steps = segmentation_steps(watershed=True)
+    chain = get_compiled_chain(steps, frame.shape, frame.dtype)
+    fn, dyn = chain.pure_callable()
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+
+    dev = jax.device_put(frame)
+    int(np.asarray(run(dev)))
+    reps = 3
+    start = time.monotonic()
+    outs = [run(dev) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    elapsed = time.monotonic() - start
+    assert reps / elapsed > 3.0, f"{reps / elapsed:.2f} fps"
+
+
+def test_tpu_extraction_budget():
+    """BASELINE config 4: region_properties data path >= 1 MPix/s on a
+    1024^2 dense scene (measured ~3 after the hull rewrite)."""
+
+    _tpu_or_skip()
+
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    frame = _dense_scene(1024)
+    bgr = np.repeat(frame[..., None], 3, axis=-1)
+    impl = get_impl("extraction.region_properties")
+    impl.data_fn(bgr)  # warm
+    start = time.monotonic()
+    df = impl.data_fn(bgr)
+    elapsed = time.monotonic() - start
+    assert len(df) > 0
+    rate = 1024 * 1024 / 1e6 / elapsed
+    assert rate > 1.0, f"{rate:.2f} MPix/s"
+
+
+def test_tpu_gigapixel_streaming_budget(rng):
+    """BASELINE config 5 shape: an 8192^2 source with a global-stats chain
+    streams through the uniform batched path without materializing, in
+    bounded wall time (relay-link bound; the budget catches structural
+    regressions like per-tile dispatch storms)."""
+
+    _tpu_or_skip()
+
+    from yamimageprocessor_tpu.models.stages import preprocess_steps
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    side = 8192
+    data = rng.integers(0, 256, (side, side), dtype=np.uint8)
+
+    class Src:
+        shape = data.shape
+        tile_size = (2048, 2048)
+
+        def infer_shape(self):
+            return data.shape
+
+        def read_region(self, box):
+            left, top, right, bottom = box
+            return data[top:bottom, left:right]
+
+        def to_array(self):
+            raise AssertionError("gigapixel source must not materialize")
+
+    seen = []
+    stream_steps_tiled(preprocess_steps(), Src(), lambda b, t: seen.append(b))
+    assert len(seen) == 16
+    start = time.monotonic()
+    seen.clear()
+    stream_steps_tiled(preprocess_steps(), Src(), lambda b, t: seen.append(b))
+    elapsed = time.monotonic() - start
+    assert len(seen) == 16
+    assert elapsed < 60.0, f"8192^2 streaming took {elapsed:.1f}s"

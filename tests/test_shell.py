@@ -1,0 +1,157 @@
+"""Terminal shell hosting the stage panes (headless UnifiedMainWindow
+equivalent, reference ``ui/unified.py:43-372``)."""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from yamimageprocessor_tpu.cli import main
+from yamimageprocessor_tpu.core.launcher import (
+    default_stage_specifications,
+    launch_stage_applications,
+)
+from yamimageprocessor_tpu.io import image_io
+from yamimageprocessor_tpu.ops.schema import Stage
+from yamimageprocessor_tpu.ui.shell import ShellController
+from yamimageprocessor_tpu.ui.startup import StartupSelection
+
+
+@pytest.fixture()
+def workspace(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    img = rng.integers(0, 220, (48, 64, 3), dtype=np.uint8)
+    img[10:30, 20:50] = 230
+    image_io.save_image(tmp_path / "cell.png", img)
+    settings = tmp_path / "settings.json"
+    main(["--settings", str(settings), "settings", "export", str(tmp_path / "s.json")])
+    payload = json.loads((tmp_path / "s.json").read_text())
+    payload["preprocess/order"] = "NoiseReduction,BrightnessContrast"
+    payload["segmentation/order"] = "Otsu"
+    payload["extraction/order"] = "Histogram"
+    (tmp_path / "s.json").write_text(json.dumps(payload))
+    main(["--settings", str(settings), "settings", "import", str(tmp_path / "s.json")])
+    return tmp_path, settings
+
+
+def _host(settings, stages, body):
+    """Launch a session hosting ``stages`` and run ``body(controller)``."""
+
+    from yamimageprocessor_tpu.core.app_core import AppConfiguration
+
+    result = {}
+
+    def run(session):
+        controller = ShellController(session)
+        result["value"] = body(controller)
+        return 0
+
+    rc = launch_stage_applications(
+        default_stage_specifications(),
+        configuration_factory=lambda: AppConfiguration(
+            allowed_roots=(Path.cwd(),), settings_path=settings
+        ),
+        selection_provider=lambda core, specs: StartupSelection(
+            stages=stages, diagnostics=False
+        ),
+        run=run,
+    )
+    assert rc == 0
+    return result["value"]
+
+
+def test_shell_tabs_and_status(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        assert [s for s, _ in shell.tabs] == [
+            Stage.PREPROCESSING,
+            Stage.SEGMENTATION,
+            Stage.ANALYSIS,
+        ]
+        frame = shell.render(80, 20)
+        assert "[Preprocessing]" in frame[0]  # active tab bracketed
+        assert "Segmentation" in frame[0]
+        # Alt+2 focuses segmentation (main_window.py keyboard nav)
+        assert shell.handle_key("2")
+        assert shell.active_stage == Stage.SEGMENTATION
+        frame = shell.render(80, 20)
+        assert "[Segmentation]" in frame[0]
+        assert "Focused Segmentation pane" in frame[-2]
+        # Tab cycles; q quits
+        shell.handle_key("tab")
+        assert shell.active_stage == Stage.ANALYSIS
+        shell.handle_key("tab")
+        assert shell.active_stage == Stage.PREPROCESSING
+        assert shell.handle_key("q")
+        assert shell.quit_requested
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING, Stage.SEGMENTATION, Stage.ANALYSIS], body)
+
+
+def test_shell_load_preview_and_steps(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        shell.load(tmp_path / "cell.png")
+        shell.run_preview()
+        frame = shell.render(90, 24)
+        text = "\n".join(frame)
+        assert "NoiseReduction" in text and "BrightnessContrast" in text
+        assert "preview: (48, 64, 3)" in text
+        assert "Ran Preprocessing preview" in frame[-2]
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_diagnostics_dock_toggle(workspace):
+    tmp_path, settings = workspace
+
+    from yamimageprocessor_tpu.services.diagnostics import DiagnosticsHub
+
+    def body(shell):
+        hub = DiagnosticsHub()
+        hub._append_log("hello from the hub")
+        shell._hub = hub
+        assert shell.handle_key("d")
+        text = "\n".join(shell.render(80, 24))
+        assert "-- diagnostics" in text
+        assert "hello from the hub" in text
+        assert shell.handle_key("d")
+        assert "-- diagnostics" not in "\n".join(shell.render(80, 24))
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_undo_redo_delegate(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        shell.load(tmp_path / "cell.png")
+        shell.run_preview()
+        pane = shell.active_pane
+        pane.commit_current()
+        before = len(shell.status)
+        shell.handle_key("u")  # undo delegates to the pane
+        shell.handle_key("y")  # redo
+        assert len(shell.status) >= before
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_cli_launch_interactive_flag_exists(workspace, capsys):
+    """--interactive is wired; without a tty it must fail gracefully
+    rather than hang (curses raises)."""
+
+    tmp_path, settings = workspace
+    with pytest.raises(Exception):
+        main([
+            "--settings", str(settings),
+            "launch", "--stages", "preprocessing", "--interactive",
+        ])

@@ -197,6 +197,10 @@ def cmd_launch(args) -> int:
         return StartupSelection.load(core.settings)
 
     def run(session) -> int:
+        if getattr(args, "interactive", False):
+            from yamimageprocessor_tpu.ui.shell import run_shell
+
+            return run_shell(session)
         for stage, pane in session.panes.items():
             print(f"stage ready: {stage.value} ({type(pane).__name__})")
         for message in session.status_messages:
@@ -267,6 +271,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default=None,
         help="comma list overriding the persisted startup selection",
+    )
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="host the session in the terminal shell (tabbed panes, "
+        "status bar, diagnostics dock)",
     )
     p.set_defaults(fn=cmd_launch)
     return parser
