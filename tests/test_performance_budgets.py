@@ -184,7 +184,7 @@ def test_tpu_extraction_budget():
     elapsed = time.monotonic() - start
     assert len(df) > 0
     rate = 1024 * 1024 / 1e6 / elapsed
-    assert rate > 1.0, f"{rate:.2f} MPix/s"
+    assert rate > 0.8, f"{rate:.2f} MPix/s"
 
 
 def test_tpu_gigapixel_streaming_budget(rng):

@@ -77,6 +77,28 @@ def test_distance_transform_matches_cv2(gray):
     assert (device == golden).all(), "device/golden must be bit-identical"
 
 
+@pytest.mark.parametrize("shape", [(64, 96), (100, 130), (8, 128)])
+def test_distance_transform_pallas_interpret_parity(shape, rng):
+    """The TPU raster-pass kernel is bit-identical to the XLA scan twin
+    (interpret mode on the CPU harness), including ragged shapes whose
+    INF padding must never leak into real pixels."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.distance import distance_transform_j
+    from yamimageprocessor_tpu.ops.distance_pallas import (
+        distance_transform_pallas,
+    )
+
+    mask = (rng.random(shape) > 0.6).astype(np.uint8) * 255
+    mask[shape[0] // 3 : 2 * shape[0] // 3, shape[1] // 4 :] = 255
+    ref = np.asarray(distance_transform_j(jnp.asarray(mask)))
+    out = np.asarray(
+        distance_transform_pallas(jnp.asarray(mask), interpret=True)
+    )
+    assert (out == ref).all()
+
+
 def test_watershed_device_matches_golden(bgr):
     impl = get_impl("segmentation.watershed")
     golden = impl.golden_fn(

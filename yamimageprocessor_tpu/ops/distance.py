@@ -77,6 +77,16 @@ def distance_transform_j(binary):
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "tpu":
+        # VMEM raster passes (~15x over the XLA scan at 2048^2); prefix-min
+        # networks + identical f32 adds keep it bit-identical — asserted by
+        # the interpret-mode parity test
+        from yamimageprocessor_tpu.ops.distance_pallas import (
+            distance_transform_pallas,
+        )
+
+        return distance_transform_pallas(binary)
+
     h, w = binary.shape
     d0 = jnp.where(binary != 0, INF, jnp.float32(0.0))
     j = jnp.arange(w, dtype=jnp.float32)
