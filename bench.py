@@ -342,10 +342,44 @@ def main() -> None:
     backend = "cpu" if backend == "cpu" else "tpu"
 
     # headline FIRST: the scoreboard line must land even if an extra fails
-    _headline(backend)
+    import signal as _signal
+
+    if hasattr(_signal, "SIGALRM") and backend != "cpu":
+
+        def _headline_alarm(signum, frame):  # noqa: ANN001
+            raise TimeoutError("headline exceeded its time budget")
+
+        _signal.signal(_signal.SIGALRM, _headline_alarm)
+        _signal.alarm(900)
+        try:
+            _headline(backend)
+        except Exception as exc:  # noqa: BLE001
+            # a wedged relay must still leave a scoreboard line: re-run the
+            # headline on the CPU backend in a fresh process
+            _stderr({"headline_error": f"{type(exc).__name__}: {exc}"})
+            import subprocess
+            import sys as _sys
+
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["YAM_BENCH_QUICK"] = "1"
+            subprocess.run([_sys.executable, os.path.abspath(__file__)], env=env)
+            return
+        finally:
+            _signal.alarm(0)
+    else:
+        _headline(backend)
 
     if os.environ.get("YAM_BENCH_QUICK") or backend == "cpu":
         return
+    import signal
+
+    def _alarm(signum, frame):  # noqa: ANN001
+        raise TimeoutError("extra exceeded its time budget")
+
+    can_alarm = hasattr(signal, "SIGALRM")
+    if can_alarm:
+        signal.signal(signal.SIGALRM, _alarm)
     for name, extra in (
         ("parity", _extra_parity),
         ("segmentation_fps", _extra_segmentation_fps),
@@ -354,9 +388,16 @@ def main() -> None:
         ("gigapixel", _extra_gigapixel),
     ):
         try:
+            # a wedged compile relay HANGS rather than raising; the alarm
+            # bounds each extra so the scoreboard lines above always land
+            if can_alarm:
+                signal.alarm(180)
             extra()
         except Exception as exc:  # noqa: BLE001 — extras must never kill the run
             _stderr({"extra": name, "error": f"{type(exc).__name__}: {exc}"})
+        finally:
+            if can_alarm:
+                signal.alarm(0)
 
 
 if __name__ == "__main__":
