@@ -380,18 +380,18 @@ def main() -> None:
     can_alarm = hasattr(signal, "SIGALRM")
     if can_alarm:
         signal.signal(signal.SIGALRM, _alarm)
-    for name, extra in (
-        ("parity", _extra_parity),
-        ("segmentation_fps", _extra_segmentation_fps),
-        ("batched_clahe", _extra_batched_clahe),
-        ("extraction", _extra_extraction),
-        ("gigapixel", _extra_gigapixel),
+    for name, extra, budget in (
+        ("parity", _extra_parity, 480),  # 25 device-case compiles
+        ("segmentation_fps", _extra_segmentation_fps, 240),
+        ("batched_clahe", _extra_batched_clahe, 240),
+        ("extraction", _extra_extraction, 180),
+        ("gigapixel", _extra_gigapixel, 300),
     ):
         try:
             # a wedged compile relay HANGS rather than raising; the alarm
             # bounds each extra so the scoreboard lines above always land
             if can_alarm:
-                signal.alarm(180)
+                signal.alarm(budget)
             extra()
         except Exception as exc:  # noqa: BLE001 — extras must never kill the run
             _stderr({"extra": name, "error": f"{type(exc).__name__}: {exc}"})
