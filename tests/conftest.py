@@ -15,12 +15,17 @@ from pathlib import Path
 # Must happen before any jax import.  NOTE: this environment force-sets
 # JAX_PLATFORMS=axon via sitecustomize, so a plain setdefault would leave
 # the suite running against the real TPU tunnel — override hard.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# YAM_TPU_TESTS=1 opts OUT of the CPU harness so the BASELINE-size budget
+# tests can run on real hardware:
+#   YAM_TPU_TESTS=1 pytest tests/test_performance_budgets.py --run-performance -k tpu
+_REAL_TPU = bool(os.environ.get("YAM_TPU_TESTS"))
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
@@ -34,7 +39,8 @@ def _configure_jax() -> None:
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not _REAL_TPU:
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = REPO_ROOT / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))

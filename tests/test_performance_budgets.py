@@ -95,19 +95,24 @@ def test_tpu_preprocess_chain_budget(rng):
 
     frames = rng.integers(0, 256, (8, 2048, 2048), dtype=np.uint8)
     fn, dyn = flagship_chain(frames.shape, frames.dtype)
+    iters = 20
 
     @jax.jit
-    def run(x):
-        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+    def looped(x):
+        # chained passes inside one dispatch, exactly like bench.py's
+        # checksum loop: sustained chain throughput, not relay latency
+        def body(_, v):
+            return fn(v, dyn)[-1]
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x).astype(jnp.uint32))
 
     dev = jax.device_put(frames)
-    int(np.asarray(run(dev)))
-    reps = 3
+    int(np.asarray(looped(dev)))
     start = time.monotonic()
-    outs = [run(dev) for _ in range(reps)]
-    jax.block_until_ready(outs)
+    checksum = int(np.asarray(looped(dev)))
     elapsed = time.monotonic() - start
-    rate = reps * 8 * 2048 * 2048 * 3 / 1e9 / elapsed
+    assert checksum >= 0
+    rate = iters * 8 * 2048 * 2048 * 3 / 1e9 / elapsed
     assert rate > 8.0, f"{rate:.2f} GPix*steps/s"
 
 
