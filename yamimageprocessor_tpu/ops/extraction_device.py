@@ -252,7 +252,11 @@ def region_table_device(img) -> Dict[str, np.ndarray]:
 
     labels, feats = _jitted_region_features()(img)
     host = {k: np.asarray(v) for k, v in feats.items()}
-    labels = np.asarray(labels)
+    # labels <= MAX_REGIONS fit uint16: halves the device->host transfer,
+    # which is a real cost on high-latency links
+    import jax.numpy as jnp
+
+    labels = np.asarray(labels.astype(jnp.uint16)).astype(np.int32)
     n = int(host["count"])
     meas = RP.RegionMeasurements(
         count=n,
