@@ -286,7 +286,7 @@ def _extra_gigapixel() -> None:
     from yamimageprocessor_tpu.models.stages import preprocess_steps
     from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
 
-    side = 8192
+    side = 16384  # BASELINE config 5 says >16k^2
     rng = np.random.default_rng(5)
     data = rng.integers(0, 256, (side, side), dtype=np.uint8)
 

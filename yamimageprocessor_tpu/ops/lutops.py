@@ -3,16 +3,12 @@
 XLA lowers per-pixel gathers (``lut[img]``) and scatter-adds
 (``zeros.at[img].add(1)``) to serialized gather/scatter loops on TPU —
 measured ~130 MPix/s on a v5e, ~100x below the elementwise roofline.  The
-VPU has no per-lane table gather, so both primitives are re-expressed as
-vectorized compare/accumulate sweeps over the 256 levels:
-
-* LUT apply: ``out = sum_k (img == k) * lut[k]`` via a fori_loop — 256
-  fused elementwise passes, entirely VPU work;
-* histogram: 256 equality-count reductions via ``lax.map``.
-
-These are the plain-XLA fast paths; the pallas kernels in
-:mod:`yamimageprocessor_tpu.pallas_kernels` fuse the sweep into a single
-HBM pass for another multiple.
+VPU has no per-lane table gather, so on TPU both primitives dispatch to
+the Pallas bit-algorithm kernels in
+:mod:`yamimageprocessor_tpu.pallas_kernels` (packed-word select trees for
+the LUT, carry-save bitslice counters for the histogram — 11-17 GPix/s).
+The plain-XLA fallbacks below are 256-level compare sweeps (used when the
+pallas path is unavailable) and exact CPU formulations for the harness.
 """
 from __future__ import annotations
 
