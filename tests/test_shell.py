@@ -145,6 +145,74 @@ def test_shell_undo_redo_delegate(workspace):
     assert _host(settings, [Stage.PREPROCESSING], body)
 
 
+def test_shell_step_selection_and_toggle(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        assert shell.selected_step == 0
+        shell.handle_key("down")
+        assert shell.selected_step == 1
+        frame = "\n".join(shell.render(90, 24))
+        assert ">" in frame and "1: BrightnessContrast" in frame
+        initial = shell.session.controller.stage_steps(Stage.PREPROCESSING)[1].enabled
+        shell.handle_key(" ")  # toggle
+        steps = shell.session.controller.stage_steps(Stage.PREPROCESSING)
+        assert steps[1].enabled is (not initial)
+        shell.handle_key(" ")
+        steps = shell.session.controller.stage_steps(Stage.PREPROCESSING)
+        assert steps[1].enabled is initial
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_parameter_editor_applies_with_coercion(workspace):
+    """The inline editor is the ParameterDialog equivalent: metadata-driven
+    adjustment (odd kernel sizes move by 2, clamped), Enter applies to the
+    controller step and reruns the preview."""
+
+    tmp_path, settings = workspace
+
+    def body(shell):
+        shell.load(tmp_path / "cell.png")
+        shell.handle_key("e")  # edit NoiseReduction (step 0)
+        assert shell.mode == "edit"
+        frame = "\n".join(shell.render(90, 28))
+        assert "-- edit NoiseReduction --" in frame
+        names = [spec.name for spec in shell.edit_specs]
+        assert "ksize" in names
+        shell.selected_param = names.index("ksize")
+        before = int(shell.edit_values["ksize"])
+        shell.handle_key("right")
+        after = int(shell.edit_values["ksize"])
+        assert after == before + 2 and after % 2 == 1  # odd coercion
+        shell.handle_key("\n")  # apply
+        assert shell.mode == "normal"
+        steps = shell.session.controller.stage_steps(Stage.PREPROCESSING)
+        assert int(steps[0].params["ksize"]) == after
+        text = "\n".join(shell.render(90, 24))
+        assert "preview:" in text
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_open_prompt(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        shell.handle_key("o")
+        assert shell.mode == "prompt"
+        for ch in str(tmp_path / "cell.png"):
+            shell.handle_key(ch)
+        shell.handle_key("\n")
+        assert shell.mode == "normal"
+        assert "Loaded cell.png" in shell.status[-1]
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
 def test_cli_launch_interactive_flag_exists(workspace, capsys):
     """--interactive is wired; without a tty it must fail gracefully
     rather than hang (curses raises)."""

@@ -56,9 +56,30 @@ class ShellController:
         self.quit_requested = False
         self._previews: dict = {}
         self._hub = diagnostics_hub
+        # step selection + modal state (the reference routes parameter
+        # editing through per-op ParameterDialogs, ui/preprocessing.py:
+        # 242-607; here the selected step opens an inline editor driven by
+        # the same ControlMetadata specs)
+        self.selected_step = 0
+        self.mode = "normal"  # "normal" | "edit" | "prompt"
+        self.edit_specs: List = []
+        self.edit_values: dict = {}
+        self.selected_param = 0
+        self.prompt_purpose = ""
+        self.prompt_buffer = ""
         for stage, pane in self.tabs:
             if hasattr(pane, "on_preview"):
                 pane.on_preview = self._preview_hook(stage)
+            # activate = sync the stage slice from settings (reference
+            # panes rebuild on activation, ui/unified.py:243-286)
+            for rebuild in ("replace_steps_from_settings", "rebuild_from_settings"):
+                fn = getattr(pane, rebuild, None)
+                if fn is not None:
+                    try:
+                        fn()
+                    except Exception:
+                        pass
+                    break
 
     # ------------------------------------------------------------------
     @property
@@ -124,9 +145,145 @@ class ShellController:
         self.quit_requested = True
 
     # ------------------------------------------------------------------
+    # step selection + inline parameter editor
+    def _stage_step_list(self):
+        controller = getattr(self.session, "controller", None)
+        if controller is None:
+            return ()
+        try:
+            return controller.stage_steps(self.active_stage)
+        except Exception:
+            return ()
+
+    def select_step(self, delta: int) -> None:
+        steps = self._stage_step_list()
+        if steps:
+            self.selected_step = max(
+                0, min(len(steps) - 1, self.selected_step + delta)
+            )
+
+    def toggle_selected_step(self) -> None:
+        steps = self._stage_step_list()
+        if not steps:
+            return
+        step = steps[self.selected_step]
+        self.session.controller.update_stage_step(
+            self.active_stage,
+            self.selected_step,
+            enabled=not getattr(step, "enabled", True),
+        )
+        self.set_status(
+            f"{'Enabled' if not step.enabled else 'Disabled'} {step.name}"
+        )
+
+    def begin_edit(self) -> None:
+        from yamimageprocessor_tpu.ui.control_metadata import (
+            get_module_control_metadata,
+        )
+
+        steps = self._stage_step_list()
+        if not steps:
+            return
+        step = steps[self.selected_step]
+        specs = get_module_control_metadata(step.name)
+        if not specs:
+            self.set_status(f"{step.name} has no editable parameters")
+            return
+        self.edit_specs = list(specs.values())
+        self.edit_values = {
+            spec.name: step.params.get(spec.name, spec.default)
+            for spec in self.edit_specs
+        }
+        self.selected_param = 0
+        self.mode = "edit"
+
+    def adjust_param(self, direction: int) -> None:
+        spec = self.edit_specs[self.selected_param]
+        value = self.edit_values[spec.name]
+        if spec.kind == "bool":
+            value = not bool(value)
+        elif spec.kind == "choice":
+            choices = list(spec.choices) or [spec.default]
+            idx = choices.index(str(value)) if str(value) in choices else 0
+            value = choices[(idx + direction) % len(choices)]
+        else:
+            delta = spec.step or (1 if spec.kind == "int" else 0.1)
+            if spec.odd and spec.kind == "int":
+                delta = 2  # odd-size params move in steps of 2
+            value = (float(value) if spec.kind == "float" else int(value)) + (
+                direction * delta
+            )
+        self.edit_values[spec.name] = spec.coerce(value)
+
+    def apply_edit(self) -> None:
+        self.session.controller.update_stage_step(
+            self.active_stage, self.selected_step, params=dict(self.edit_values)
+        )
+        steps = self._stage_step_list()
+        name = steps[self.selected_step].name if steps else "step"
+        self.mode = "normal"
+        self.set_status(f"Applied {name} parameters")
+        self.run_preview()
+
+    def cancel_edit(self) -> None:
+        self.mode = "normal"
+        self.set_status("Edit cancelled")
+
+    # ------------------------------------------------------------------
+    def begin_prompt(self, purpose: str) -> None:
+        self.mode = "prompt"
+        self.prompt_purpose = purpose
+        self.prompt_buffer = ""
+
+    def finish_prompt(self) -> None:
+        path = self.prompt_buffer.strip()
+        self.mode = "normal"
+        if not path:
+            return
+        try:
+            if self.prompt_purpose == "open":
+                self.load(Path(path))
+            elif self.prompt_purpose == "save":
+                pane = self.active_pane
+                if hasattr(pane, "save_processed_image"):
+                    pane.save_processed_image(Path(path))
+                    self.set_status(f"Saved {Path(path).name}")
+        except Exception as exc:  # surfaced, not fatal — reference dialogs
+            self.set_status(f"{self.prompt_purpose} failed: {exc}")
+
+    # ------------------------------------------------------------------
     def handle_key(self, key: str) -> bool:
         """Dispatch one key (curses name or single char).  Returns True
         when the key was consumed."""
+
+        if self.mode == "prompt":
+            if key in ("\n", "enter", "KEY_ENTER"):
+                self.finish_prompt()
+            elif key in ("escape", "\x1b"):
+                self.mode = "normal"
+            elif key in ("KEY_BACKSPACE", "\x7f", "\b"):
+                self.prompt_buffer = self.prompt_buffer[:-1]
+            elif len(key) == 1 and key.isprintable():
+                self.prompt_buffer += key
+            return True
+
+        if self.mode == "edit":
+            low = key.lower()
+            if low in ("up", "KEY_UP".lower()):
+                self.selected_param = max(0, self.selected_param - 1)
+            elif low in ("down", "KEY_DOWN".lower()):
+                self.selected_param = min(
+                    len(self.edit_specs) - 1, self.selected_param + 1
+                )
+            elif low in ("left", "KEY_LEFT".lower(), "-"):
+                self.adjust_param(-1)
+            elif low in ("right", "KEY_RIGHT".lower(), "+", "="):
+                self.adjust_param(1)
+            elif low in ("\n", "enter", "KEY_ENTER".lower()):
+                self.apply_edit()
+            elif low in ("escape", "\x1b", "q"):
+                self.cancel_edit()
+            return True
 
         key = key.lower()
         if key in ("1", "2", "3", "alt+1", "alt+2", "alt+3"):
@@ -134,6 +291,24 @@ class ShellController:
             return True
         if key in ("\t", "tab"):
             self.next_tab()
+            return True
+        if key in ("up", "key_up"):
+            self.select_step(-1)
+            return True
+        if key in ("down", "key_down"):
+            self.select_step(1)
+            return True
+        if key in (" ", "space"):
+            self.toggle_selected_step()
+            return True
+        if key in ("e", "\n", "enter", "key_enter"):
+            self.begin_edit()
+            return True
+        if key == "o":
+            self.begin_prompt("open")
+            return True
+        if key == "s":
+            self.begin_prompt("save")
             return True
         if key in ("d", "f2"):
             self.toggle_diagnostics()
@@ -157,20 +332,27 @@ class ShellController:
         pane = self.active_pane
         stage = self.active_stage
         lines = [f"[{pane.pane_title()}]"]
-        steps = ()
-        controller = getattr(self.session, "controller", None)
-        if controller is not None:
-            try:
-                steps = controller.stage_steps(stage)
-            except Exception:
-                steps = ()
+        steps = self._stage_step_list()
         if steps:
             lines.append("steps:")
             for idx, step in enumerate(steps):
                 mark = "x" if getattr(step, "enabled", True) else " "
-                lines.append(f"  [{mark}] {idx}: {step.name}")
+                cursor = ">" if idx == self.selected_step else " "
+                lines.append(f" {cursor}[{mark}] {idx}: {step.name}")
         else:
             lines.append("steps: (none)")
+        if self.mode == "edit" and self.edit_specs:
+            steps = self._stage_step_list()
+            name = steps[self.selected_step].name if steps else "?"
+            lines.append(f"-- edit {name} --")
+            for idx, spec in enumerate(self.edit_specs):
+                cursor = ">" if idx == self.selected_param else " "
+                value = self.edit_values[spec.name]
+                lines.append(f" {cursor}{spec.name} = {value}")
+            spec = self.edit_specs[self.selected_param]
+            tip = spec.tooltip_text() if hasattr(spec, "tooltip_text") else ""
+            if tip:
+                lines.append(f"  {tip}")
         preview = self._previews.get(stage)
         if preview:
             shape, dtype, mean = preview
@@ -208,7 +390,15 @@ class ShellController:
             lines.extend(self._diagnostics_lines(width, dock_rows))
         status = self.status[-1] if self.status else "ready"
         lines.append(("-" * min(width, 8) + " " + status)[:width])
-        hint = "1/2/3 tabs  Tab next  r run  u/y undo/redo  d diagnostics  q quit"
+        if self.mode == "prompt":
+            hint = f"{self.prompt_purpose} path: {self.prompt_buffer}_"
+        elif self.mode == "edit":
+            hint = "up/down param  left/right adjust  Enter apply  Esc cancel"
+        else:
+            hint = (
+                "1/2/3 tabs  up/down step  Space toggle  e edit  o open  "
+                "s save  r run  u/y undo/redo  d diagnostics  q quit"
+            )
         lines.append(hint[:width])
         return lines[:height]
 
@@ -240,6 +430,7 @@ def run_shell(session, *, screen=None, max_frames: Optional[int] = None) -> int:
 
     def loop(stdscr) -> int:
         curses.curs_set(0)
+        stdscr.keypad(True)  # arrows arrive as KEY_* names, not ESC runs
         stdscr.nodelay(False)
         frames = 0
         while not controller.quit_requested:
