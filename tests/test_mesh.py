@@ -162,6 +162,42 @@ def test_spatial_sharded_morphology_exact_everywhere(mesh, rng):
     assert (out == dense).all()
 
 
+def test_mesh_sharded_tile_streaming_bit_exact(mesh, rng):
+    """Uniform-grid streaming with tile batches sharded over the mesh
+    (data-parallel tiles): same bit-exact result as the dense path, stats
+    merged across devices by XLA."""
+
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    side, tile = 512, 64  # 8x8 grid -> batches of 8, divisible by 8 devices
+    data = rng.integers(0, 256, (side, side), dtype=np.uint8)
+
+    class Src:
+        shape = data.shape
+        tile_size = (tile, tile)
+
+        def infer_shape(self):
+            return data.shape
+
+        def read_region(self, box):
+            left, top, right, bottom = box
+            return data[top:bottom, left:right]
+
+        def to_array(self):
+            raise AssertionError("must stream, not materialize")
+
+    out = np.zeros_like(data)
+
+    def on_tile(box, t):
+        left, top, right, bottom = box
+        out[top:bottom, left:right] = t
+
+    steps = preprocess_steps()
+    stream_steps_tiled(steps, Src(), on_tile, mesh=mesh)
+    dense = PipelineManager(steps).apply_host(data)
+    assert (out == dense).all()
+
+
 def test_spatial_sharded_rejects_bad_height(mesh, rng):
     frame = rng.integers(0, 256, (100, 64), dtype=np.uint8)
     with pytest.raises(ValueError):

@@ -116,9 +116,15 @@ def stream_steps_tiled(
     on_tile: Callable[[TileBox, np.ndarray], None],
     *,
     tile_size: Optional[Tuple[int, int]] = None,
+    mesh: Any = None,
 ) -> None:
     """Run ``steps`` over a tiled source, invoking ``on_tile`` per finished
-    tile in reference row-major order."""
+    tile in reference row-major order.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — uniform-grid batches
+    then shard across its first axis (data-parallel tiles over ICI), the
+    multi-chip form of the reference's tile loop (SURVEY §2.5).
+    """
 
     enabled = [s for s in steps if getattr(s, "enabled", True)]
     width, height = _source_dims(image)
@@ -136,7 +142,7 @@ def stream_steps_tiled(
             # next — the frame is NEVER materialized (the reference streams
             # every chain, processing/pipeline_cache.py:416-574; its tests
             # prove it by making to_array() raise).
-            _stream_with_stats(enabled, image, on_tile, tsize)
+            _stream_with_stats(enabled, image, on_tile, tsize, mesh=mesh)
             return
         # frame-coupled ops (watershed, labeling, clustering) genuinely
         # need the full frame: materialize once, run dense, re-emit in
@@ -213,6 +219,7 @@ def _stream_with_stats(
     image: Any,
     on_tile: Callable[[TileBox, np.ndarray], None],
     tsize: Optional[Tuple[int, int]],
+    mesh: Any = None,
 ) -> None:
     """Multi-pass tile streaming for chains containing global-statistics
     ops: pass k streams the prefix before global op k and accumulates that
@@ -262,6 +269,7 @@ def _stream_with_stats(
                 width,
                 height,
                 frame_shape,
+                mesh=mesh,
             )
             return
 
@@ -455,6 +463,7 @@ def _stream_uniform(
     width: int,
     height: int,
     frame_shape: Tuple[int, ...],
+    mesh: Any = None,
 ) -> None:
     """Uniform-grid multi-pass streaming: every tile reads the SAME-shape
     halo window (shifted inward at frame edges), so tiles batch into
@@ -488,6 +497,19 @@ def _stream_uniform(
         )
         y0 = np.array([o[0] for o in offsets[sl]], np.int32)
         x0 = np.array([o[1] for o in offsets[sl]], np.int32)
+        if mesh is not None and regions.shape[0] % mesh.devices.size == 0:
+            # data-parallel tiles: the batch dim shards over the mesh, so
+            # each chip runs the chain on its tiles and the stats merge
+            # becomes an XLA cross-device reduction
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharded = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            return (
+                jax.device_put(regions, sharded),
+                jnp.asarray(y0),
+                jnp.asarray(x0),
+            )
         return jnp.asarray(regions), jnp.asarray(y0), jnp.asarray(x0)
 
     probe = np.asarray(image.read_region(windows[0]))
