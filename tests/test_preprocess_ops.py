@@ -362,3 +362,32 @@ def test_batched_pallas_wrappers_cpu_fallback(rng):
     h = np.asarray(histogram256_batch(jnp.asarray(imgs)))
     href = np.stack([np.bincount(imgs[i].ravel(), minlength=256) for i in range(3)])
     assert (h == href).all()
+
+
+def test_sepconv_pallas_interpret_parity():
+    """The TPU separable-conv kernel (lane-roll x-taps + sublane y-taps)
+    matches the XLA twin bit-for-bit, including edge rows/cols (reflect101)
+    and non-128-multiple widths."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import filters as F
+    from yamimageprocessor_tpu.ops._kernels import gaussian_taps
+    from yamimageprocessor_tpu.ops.sepconv_pallas import sep_filter_u8_pallas
+
+    rng = np.random.default_rng(13)
+    taps = jnp.asarray(gaussian_taps(5), jnp.float32)
+    for shape in [(64, 128), (100, 130), (48, 256)]:
+        imgs = rng.integers(0, 256, (2,) + shape, dtype=np.uint8)
+        ref = np.stack(
+            [
+                np.asarray(
+                    F.to_uint8_j(F.sep_filter_j(jnp.asarray(f), taps, taps))
+                )
+                for f in imgs
+            ]
+        )
+        out = np.asarray(
+            sep_filter_u8_pallas(jnp.asarray(imgs), taps, taps, interpret=True)
+        )
+        assert (out == ref).all(), shape

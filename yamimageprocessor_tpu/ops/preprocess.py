@@ -441,6 +441,21 @@ def noise_reduction_np(image: np.ndarray, method: str = "Gaussian", ksize: int =
 
 def noise_reduction_j(img, dyn, *, method: str = "Gaussian", ksize: int = 5):
     if method == "Gaussian":
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and img.ndim == 2
+            and img.dtype == np.uint8
+        ):
+            # one VMEM pass: x-taps as lane rolls, y-taps as sublane
+            # slices, same f32 accumulation order (bit parity asserted in
+            # interpret mode)
+            from yamimageprocessor_tpu.ops.sepconv_pallas import (
+                sep_filter_u8_batchable,
+            )
+
+            return sep_filter_u8_batchable()(img, dyn["taps"], dyn["taps"])
         out = F.sep_filter_j(img, dyn["taps"], dyn["taps"])
         return F.to_uint8_j(out) if img.dtype == np.uint8 else out
     if method == "Median":
