@@ -162,6 +162,40 @@ def test_spatial_sharded_morphology_exact_everywhere(mesh, rng):
     assert (out == dense).all()
 
 
+def test_sharded_labeling_beyond_512_components(mesh):
+    """The sharded renumbering's capacity is per-band, not global: a frame
+    with >512 components still matches the dense labeling bit-for-bit
+    (regression: the gathered root list used to re-truncate to 512)."""
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yamimageprocessor_tpu.ops.labeling import label_np
+    from yamimageprocessor_tpu.ops.watershed_sharded import label_sharded_j
+
+    h, w = 16 * 8, 160
+    fg = np.zeros((h, w), bool)
+    # isolated single-pixel components: 320 per 16-row shard band (inside
+    # the per-band capacity), 2560 total (5x the old global truncation)
+    fg[::2, ::4] = True
+    dense = label_np(fg)
+    assert dense.max() > 512
+
+    axis = mesh.axis_names[0]
+    fn = shard_map(
+        lambda block: label_sharded_j(block, axis),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    dev = jax.device_put(jnp.asarray(fg), NamedSharding(mesh, P(axis)))
+    out = np.asarray(jax.jit(fn)(dev))
+    assert (out == dense).all()
+
+
 def test_mesh_sharded_tile_streaming_bit_exact(mesh, rng):
     """Uniform-grid streaming with tile batches sharded over the mesh
     (data-parallel tiles): same bit-exact result as the dense path, stats

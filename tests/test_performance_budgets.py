@@ -70,18 +70,11 @@ def _tpu_or_skip():
 
 
 def _dense_scene(side: int, seed: int = 3) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    img = np.zeros((side, side), np.uint8)
-    yy, xx = np.mgrid[:side, :side]
-    pitch = 128
-    for cy in range(pitch // 2, side, pitch):
-        for cx in range(pitch // 2, side, pitch):
-            r = 40 + int(rng.integers(0, 12))
-            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 170 + int(
-                rng.integers(0, 60)
-            )
-    noise = rng.integers(-12, 13, img.shape)
-    return (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+    # the SAME fixture bench.py measures (budget floors are calibrated
+    # against its numbers) — import, don't fork
+    from bench import _dense_scene as bench_scene
+
+    return bench_scene(side, seed)
 
 
 def test_tpu_preprocess_chain_budget(rng):

@@ -49,32 +49,21 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
     assert (np.asarray(y0).reshape(nby, bh) == by0[:, None]).all()
     assert (np.asarray(x0).reshape(nbx, bw) == bx0[:, None]).all()
 
-    # pack each (256,) table into 64 int32 words, 4 consecutive entries per
-    # word (tables are integer-valued 0..255)
-    l32 = luts.astype(jnp.int32)
-    words = (
-        l32[..., 0::4]
-        | (l32[..., 1::4] << 8)
-        | (l32[..., 2::4] << 16)
-        | (l32[..., 3::4] << 24)
-    )  # (gh, gw, 64)
+    from yamimageprocessor_tpu.pallas_kernels import (
+        _pack_lut_words,
+        _select_word_tree,
+    )
+
+    # pack each (256,) table into 64 int32 words (tables are integer 0..255)
+    words = _pack_lut_words(luts)  # (gh, gw, 64)
 
     fy_col = jnp.asarray(fy, jnp.float32).reshape(h, 1)
     fx_row = jnp.asarray(fx, jnp.float32).reshape(1, w)
 
     def tree_lookup(x, read_word):
-        bits = [(x & (1 << (2 + b))) != 0 for b in range(6)]
-        level = [
-            jnp.where(bits[0], read_word(2 * i + 1), read_word(2 * i))
-            for i in range(32)
-        ]
-        for b in range(1, 6):
-            level = [
-                jnp.where(bits[b], level[2 * i + 1], level[2 * i])
-                for i in range(len(level) // 2)
-            ]
+        word = _select_word_tree(x, read_word, 64, 2)
         sh = (x & 3) * 8
-        return (jnp.right_shift(level[0], sh) & 255).astype(jnp.float32)
+        return (jnp.right_shift(word, sh) & 255).astype(jnp.float32)
 
     def kernel(by0_r, by1_r, bx0_r, bx1_r, v_ref, w_ref, fy_ref, fx_ref, out_ref):
         i = pl.program_id(0)

@@ -57,11 +57,13 @@ def region_properties_extraction(image: np.ndarray) -> np.ndarray:
 
 
 def region_properties_data(image: np.ndarray) -> pd.DataFrame:
-    if XD.use_device_extraction():
-        table = XD.region_table_device(image)
+    table = XD.region_table_device(image) if XD.use_device_extraction() else None
+    if table is not None and not table.get("saturated"):
         meas = table["meas"]
         solidity = table["solidity"]
     else:
+        # host path: off-accelerator, or the device kernels' static region
+        # capacity saturated (unbounded labeling required for correctness)
         labels = label_np(_binary(image) > 0)
         meas = RP.measure_np(labels)
         solidity = RP.solidity_np(labels, meas)

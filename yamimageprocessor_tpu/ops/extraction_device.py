@@ -258,6 +258,10 @@ def region_table_device(img) -> Dict[str, np.ndarray]:
 
     labels = np.asarray(labels.astype(jnp.uint16)).astype(np.int32)
     n = int(host["count"])
+    if n >= MAX_REGIONS:
+        # the static capacity clips overflow regions into one garbage
+        # segment; the caller must fall back to the unbounded host path
+        return {"saturated": True}
     meas = RP.RegionMeasurements(
         count=n,
         area=host["area"][: n + 1].astype(np.float64),

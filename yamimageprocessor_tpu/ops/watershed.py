@@ -105,6 +105,37 @@ def watershed_np(image: np.ndarray, markers: np.ndarray) -> np.ndarray:
     return lab
 
 
+_flood_vmap = None
+
+
+def _flood_pallas_batchable():
+    global _flood_vmap
+    if _flood_vmap is None:
+        import jax
+
+        from yamimageprocessor_tpu.ops.watershed_pallas import flood_pallas
+
+        @jax.custom_batching.custom_vmap
+        def one(image, markers):
+            return flood_pallas(image, markers)
+
+        @one.def_vmap
+        def _rule(axis_size, in_batched, image, markers):  # noqa: ANN001
+            import jax.numpy as jnp
+
+            img_b, mk_b = in_batched
+            if not img_b:
+                image = jnp.broadcast_to(image[None], (axis_size,) + image.shape)
+            if not mk_b:
+                markers = jnp.broadcast_to(
+                    markers[None], (axis_size,) + markers.shape
+                )
+            return jax.lax.map(lambda t: one(t[0], t[1]), (image, markers)), True
+
+        _flood_vmap = one
+    return _flood_vmap
+
+
 def watershed_j(image, markers):
     """Level-synchronous flooding, device edition.
 
@@ -126,9 +157,9 @@ def watershed_j(image, markers):
     import jax.numpy as jnp
 
     if jax.default_backend() == "tpu":
-        from yamimageprocessor_tpu.ops.watershed_pallas import flood_pallas
-
-        return flood_pallas(image, markers)
+        # vmap-safe wrapper: batched frames flood sequentially (pallas
+        # calls have no batching rule; convergence is per-frame anyway)
+        return _flood_pallas_batchable()(image, markers)
 
     h, w = markers.shape
     img = image.astype(jnp.int16)

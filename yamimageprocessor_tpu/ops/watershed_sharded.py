@@ -72,7 +72,12 @@ def erode_sharded_j(img, se: np.ndarray, iterations: int, axis: str):
 # ---------------------------------------------------------------------------
 # connected components
 def label_sharded_j(fg, axis: str, max_regions: int = MAX_REGIONS):
-    """Row-sharded twin of ``labeling.label_j`` (bit-identical labels)."""
+    """Row-sharded twin of ``labeling.label_j`` (bit-identical labels).
+
+    Static capacity: up to ``max_regions`` component roots PER SHARD row
+    band (total n_shards * max_regions); bands denser than that truncate
+    their root list and the renumbering diverges from the dense path.
+    """
 
     import jax
     import jax.numpy as jnp
@@ -124,21 +129,33 @@ def label_sharded_j(fg, axis: str, max_regions: int = MAX_REGIONS):
         cond, body, (spread(lab0), jnp.int32(1), jnp.int32(0))
     )
 
-    # compact raster-first renumbering: all-gather the (sparse) root list,
-    # then rank every pixel's root against the sorted global roots
+    # compact raster-first renumbering: all-gather the (sparse) root
+    # lists, then rank every pixel's root against the sorted global roots.
+    # Each shard contributes up to ``max_regions`` roots from its OWN row
+    # band (the only remaining static bound — per-band, not global) and
+    # the gathered list is NOT re-truncated, so the total capacity is
+    # n_shards * max_regions components.  The rank loop walks only the
+    # real roots (sentinel-terminated), so cost scales with the actual
+    # component count.
     flat = lab.ravel()
     is_root = jnp.logical_and(flat != sentinel, flat == gidx.ravel())
     local_roots = jnp.sort(jnp.where(is_root, flat, sentinel))[:max_regions]
     all_roots = jax.lax.all_gather(local_roots, axis).reshape(-1)
-    roots = jnp.sort(all_roots)[:max_regions]  # global raster order
-    # rank(label) = #roots <= label  (labels ARE roots, so rank >= 1)
-    def add_rank(r, rank):
-        root = roots[r]
-        hit = (root <= flat) & (root != sentinel)
-        return rank + hit.astype(jnp.int32)
+    roots = jnp.sort(all_roots)  # global raster order, sentinel-padded
+    total = roots.shape[0]
 
-    rank = jax.lax.fori_loop(
-        0, max_regions, add_rank, jnp.zeros_like(flat)
+    # rank(label) = #roots <= label  (labels ARE roots, so rank >= 1)
+    def cond_rank(state):
+        r, _ = state
+        return jnp.logical_and(r < total, roots[r] != sentinel)
+
+    def body_rank(state):
+        r, rank = state
+        hit = roots[r] <= flat
+        return r + 1, rank + hit.astype(jnp.int32)
+
+    _, rank = jax.lax.while_loop(
+        cond_rank, body_rank, (jnp.int32(0), jnp.zeros_like(flat))
     )
     out = jnp.where(flat == sentinel, 0, rank)
     return out.reshape(h, w)

@@ -38,12 +38,16 @@ def _row_block(h: int, max_rows: int = 512) -> int:
 
 
 def _pack_lut_words(lut):
-    """(256,) table -> (64,) int32, 4 consecutive entries per word."""
+    """(..., 256) table(s) -> (..., 64) int32, 4 consecutive entries per
+    word (shared by the LUT-apply and CLAHE kernels)."""
     import jax.numpy as jnp
 
     l32 = lut.astype(jnp.uint32)
     return (
-        l32[0::4] | (l32[1::4] << 8) | (l32[2::4] << 16) | (l32[3::4] << 24)
+        l32[..., 0::4]
+        | (l32[..., 1::4] << 8)
+        | (l32[..., 2::4] << 16)
+        | (l32[..., 3::4] << 24)
     ).astype(jnp.int32)
 
 
@@ -145,7 +149,7 @@ def lut_apply_batch(imgs, luts):
     work = flat.reshape(n, -1, 1024)
     h, w = work.shape[1], work.shape[2]
     rows = _row_block(h, max_rows=128)
-    words = jax.vmap(_pack_lut_words)(luts)  # (N, 64)
+    words = _pack_lut_words(luts)  # (N, 64)
 
     def kernel(img_ref, w_ref, out_ref):
         frame = pl.program_id(0)

@@ -58,11 +58,11 @@ def batch_sharded_apply(steps: Sequence[Any], images: np.ndarray, mesh) -> np.nd
 
 
 # ---------------------------------------------------------------------------
-# spatial sharding with halo exchange
-def _neighbor_perms(n: int) -> Tuple[list, list]:
-    down = [(i, i + 1) for i in range(n - 1)]  # send to next (higher) shard
-    up = [(i + 1, i) for i in range(n)[: n - 1]]  # send to previous shard
-    return down, up
+# spatial sharding with halo exchange (ppermute pairs shared with the
+# sharded-op collectives)
+from yamimageprocessor_tpu.parallel.collectives import (
+    neighbor_perms as _neighbor_perms,
+)
 
 
 def spatial_sharded_apply(

@@ -273,9 +273,19 @@ def _stream_with_stats(
             )
             return
 
+    base_key = _plan_key(plans, frame_shape, -1, -1)
+
     def make_runner(upto: int):
         """Jitted ``fn(region, stats_list) -> region`` over steps[0:upto];
-        stats_list carries resolved stats for the global steps in order."""
+        stats_list carries resolved stats for the global steps in order.
+        Cached across stream calls — a fresh jax.jit per call would
+        re-lower and recompile the chain every run (same rule as the
+        uniform path's executables)."""
+
+        key = (base_key, "runner", upto)
+        hit = _UNIFORM_JIT_CACHE.get(key)
+        if hit is not None:
+            return hit
 
         @jax.jit
         def run(region, stats_list):
@@ -298,7 +308,26 @@ def _stream_with_stats(
                     cur = impl.device_fn(cur, dyn_j, **static)
             return cur
 
+        _UNIFORM_JIT_CACHE[key] = run
         return run
+
+    def make_stats_fn(g: int):
+        key = (base_key, "stats", g)
+        hit = _UNIFORM_JIT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        impl_g, static_g, dyn_g, _ = plans[g]
+        fn = jax.jit(
+            lambda center, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
+                _impl.tile_stats_fn,
+                center,
+                {k: jnp.asarray(v) for k, v in _dy.items()},
+                frame_shape=frame_shape,
+                **_st,
+            )
+        )
+        _UNIFORM_JIT_CACHE[key] = fn
+        return fn
 
     def prefix_halo(upto: int) -> int:
         return sum(plans[i][3] for i in range(upto))
@@ -312,18 +341,10 @@ def _stream_with_stats(
     # ---- stats passes (one per global op, in chain order)
     resolved: List[Any] = []
     for g in global_indices:
-        impl_g, static_g, dyn_g, _ = plans[g]
+        impl_g = plans[g][0]
         runner = make_runner(g)
         halo = prefix_halo(g)
-        stats_fn = jax.jit(
-            lambda center, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
-                _impl.tile_stats_fn,
-                center,
-                {k: jnp.asarray(v) for k, v in _dy.items()},
-                frame_shape=frame_shape,
-                **_st,
-            )
-        )
+        stats_fn = make_stats_fn(g)
         acc = None
         for box in iter_tile_boxes(width, height, tsize):
             ebox = _expand_box(box, halo, width, height)

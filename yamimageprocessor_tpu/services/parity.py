@@ -133,6 +133,25 @@ def run_parity_cases(
         total += 1
         passed += diff == 0
         emit(f"{'OK ' if diff == 0 else 'FAIL'} histeq odd shape {shape}: maxdiff={diff}")
+
+    # the CLAHE pallas fast path needs tiles >= 256 wide (clahe_j gate) —
+    # the shared 128x160 scene never reaches it, so audit it explicitly
+    # (measured bit-exact vs the f64 golden on hardware)
+    clahe = get_impl("preprocessing.clahe")
+    wide = rng.integers(0, 256, (256, 2048), dtype=np.uint8)
+    golden = clahe.golden_fn(wide, clip_limit=2.0, grid_size=8)
+    static, dyn = clahe.split_params(
+        {"clip_limit": 2.0, "grid_size": 8}, wide.shape
+    )
+    device = np.asarray(
+        clahe.device_fn(
+            jnp.asarray(wide), {k: jnp.asarray(v) for k, v in dyn.items()}, **static
+        )
+    )
+    diff = int(np.abs(device.astype(np.int64) - golden.astype(np.int64)).max())
+    total += 1
+    passed += diff == 0
+    emit(f"{'OK ' if diff == 0 else 'FAIL'} clahe fast path 256x2048: maxdiff={diff}")
     return passed, total
 
 

@@ -167,14 +167,11 @@ class ShellController:
         if not steps:
             return
         step = steps[self.selected_step]
+        new_state = not getattr(step, "enabled", True)
         self.session.controller.update_stage_step(
-            self.active_stage,
-            self.selected_step,
-            enabled=not getattr(step, "enabled", True),
+            self.active_stage, self.selected_step, enabled=new_state
         )
-        self.set_status(
-            f"{'Enabled' if not step.enabled else 'Disabled'} {step.name}"
-        )
+        self.set_status(f"{'Enabled' if new_state else 'Disabled'} {step.name}")
 
     def begin_edit(self) -> None:
         from yamimageprocessor_tpu.ui.control_metadata import (
