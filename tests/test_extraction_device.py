@@ -140,3 +140,93 @@ def test_device_extraction_families_registered():
     for identifier, attrs in families.items():
         impl = get_impl(identifier)
         assert any(getattr(impl, a) is not None for a in attrs), identifier
+
+
+def _solidity_golden(bgr):
+    labels = label_np(EX._binary(bgr) > 0)
+    meas = RP.measure_np(labels)
+    return RP.solidity_np(labels, meas), labels, meas
+
+
+def test_hull_vertices_bit_exact_vs_host_chain():
+    """Device monotone chain must emit the HOST's exact vertex list."""
+
+    rng = np.random.default_rng(11)
+    img = np.zeros((80, 90), np.uint8)
+    # degenerate shapes: single pixel, horizontal line, vertical line,
+    # diagonal (collinear), plus random blobs
+    img[3, 4] = 200
+    img[10, 20:40] = 210
+    img[20:33, 50] = 220
+    for k in range(12):
+        img[40 + k, 8 + k] = 230
+    for _ in range(14):
+        r, c = rng.integers(5, 70, 2)
+        img[r : r + rng.integers(2, 9), c : c + rng.integers(2, 9)] = 240
+    bgr = np.repeat(img[..., None], 3, axis=-1)
+
+    labels = label_np(EX._binary(bgr) > 0)
+    meas = RP.measure_np(labels)
+    verts, nverts = RP.hull_vertices_j(labels, 64, XD.MAX_HULL_VERTICES)
+    verts = np.asarray(verts)
+    nverts = np.asarray(nverts)
+    for region in range(1, meas.count + 1):
+        minr, minc, maxr, maxc = meas.bbox[region]
+        crop = labels[minr:maxr, minc:maxc] == region
+        rows, cols = np.nonzero(crop)
+        order = np.lexsort((cols, rows))
+        rs, cs = rows[order], cols[order]
+        urows, starts = np.unique(rs, return_index=True)
+        ends = np.append(starts[1:], len(cs)) - 1
+        cand = np.concatenate(
+            [
+                np.stack([urows + minr, cs[starts] + minc], axis=1),
+                np.stack([urows + minr, cs[ends] + minc], axis=1),
+            ]
+        )
+        hull = RP.convex_hull_points(cand)
+        n = int(nverts[region])
+        if len(hull) <= 2:
+            assert n <= 2, f"region {region}: device hull not degenerate"
+        else:
+            assert n == len(hull), f"region {region}: vertex count"
+            np.testing.assert_array_equal(verts[region, :n], hull)
+
+
+def test_solidity_from_hulls_bit_exact(scene):
+    _, bgr = scene
+    golden, labels, meas = _solidity_golden(bgr)
+    table = XD.region_table_device(bgr)
+    np.testing.assert_array_equal(table["solidity"], golden)
+
+
+def test_region_tables_two_tier_saturation():
+    """>64 regions must transparently re-run at the 512 tier."""
+
+    img = np.zeros((140, 140), np.uint8)
+    for i in range(10):
+        for j in range(10):
+            img[3 + i * 13 : 7 + i * 13, 3 + j * 13 : 7 + j * 13] = 220
+    bgr = np.repeat(img[..., None], 3, axis=-1)
+    (table,) = XD.region_tables_device([bgr])
+    assert not table.get("saturated")
+    golden, labels, meas = _solidity_golden(bgr)
+    assert table["meas"].count == meas.count == 100
+    np.testing.assert_array_equal(table["solidity"], golden)
+    np.testing.assert_array_equal(table["meas"].area, meas.area)
+
+
+def test_region_tables_batched_matches_single():
+    rng = np.random.default_rng(3)
+    frames = []
+    for s in range(3):
+        img = np.zeros((64, 72), np.uint8)
+        for _ in range(6 + s):
+            r, c = rng.integers(4, 50, 2)
+            img[r : r + 7, c : c + 5] = 200
+        frames.append(np.repeat(img[..., None], 3, axis=-1))
+    tables = XD.region_tables_device(frames)
+    for f, t in zip(frames, tables):
+        golden, labels, meas = _solidity_golden(f)
+        assert t["meas"].count == meas.count
+        np.testing.assert_array_equal(t["solidity"], golden)

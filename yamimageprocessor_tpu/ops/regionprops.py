@@ -173,9 +173,19 @@ def measure_j(labels, max_regions: int):
     """Device twin: segment sums with a static region capacity.
 
     Returns a dict of (max_regions+1,) arrays; entries past the true count
-    are zero.  Perimeter/hull stay host-side finalizations.
+    are zero.  Hull area stays a host-side finalization (over device-
+    extracted vertices, :func:`hull_vertices_j`).
+
+    TPU scatters serialize per index, so the reductions are PACKED: one
+    (N, 3) sum for {area, Σr, Σc}, one (N, 2) min and max for the bbox,
+    and one (N, 3) sum for the central moments — 5 scatters instead of 10
+    (plus the perimeter's, folded in by :func:`measure_with_perimeter_j`).
     """
 
+    return _measure_packed(labels, max_regions, extra=None)
+
+
+def _measure_packed(labels, max_regions: int, extra):
     import jax
     import jax.numpy as jnp
 
@@ -186,27 +196,30 @@ def measure_j(labels, max_regions: int):
     flat = jnp.clip(labels.ravel(), 0, max_regions)
     nseg = max_regions + 1
 
-    ones = jnp.ones_like(rr)
-    area = jax.ops.segment_sum(ones, flat, num_segments=nseg)
-    sum_r = jax.ops.segment_sum(rr, flat, num_segments=nseg)
-    sum_c = jax.ops.segment_sum(cc, flat, num_segments=nseg)
+    s1 = jax.ops.segment_sum(
+        jnp.stack([jnp.ones_like(rr), rr, cc], axis=1), flat, num_segments=nseg
+    )
+    area, sum_r, sum_c = s1[:, 0], s1[:, 1], s1[:, 2]
     safe = jnp.maximum(area, 1.0)
     cen_r = sum_r / safe
     cen_c = sum_c / safe
 
+    rc = jnp.stack([rr, cc], axis=1)
+    mins = jax.ops.segment_min(rc, flat, num_segments=nseg)
+    maxs = jax.ops.segment_max(rc, flat, num_segments=nseg)
+    minr, minc = mins[:, 0], mins[:, 1]
+    maxr, maxc = maxs[:, 0], maxs[:, 1]
+
     dr = rr - cen_r[flat]
     dc = cc - cen_c[flat]
-    mu20 = jax.ops.segment_sum(dr * dr, flat, num_segments=nseg)
-    mu02 = jax.ops.segment_sum(dc * dc, flat, num_segments=nseg)
-    mu11 = jax.ops.segment_sum(dr * dc, flat, num_segments=nseg)
+    mu_vals = [dr * dr, dc * dc, dr * dc]
+    if extra is not None:
+        mu_vals.append(extra)
+    s2 = jax.ops.segment_sum(
+        jnp.stack(mu_vals, axis=1), flat, num_segments=nseg
+    )
 
-    big = jnp.float32(1 << 30)
-    minr = jax.ops.segment_min(rr, flat, num_segments=nseg)
-    minc = jax.ops.segment_min(cc, flat, num_segments=nseg)
-    maxr = jax.ops.segment_max(rr, flat, num_segments=nseg)
-    maxc = jax.ops.segment_max(cc, flat, num_segments=nseg)
-
-    return {
+    feats = {
         "area": area,
         "centroid_r": cen_r,
         "centroid_c": cen_c,
@@ -214,10 +227,22 @@ def measure_j(labels, max_regions: int):
         "min_c": jnp.where(area > 0, minc, 0.0),
         "max_r": jnp.where(area > 0, maxr, -1.0),
         "max_c": jnp.where(area > 0, maxc, -1.0),
-        "mu20": mu20,
-        "mu02": mu02,
-        "mu11": mu11,
+        "mu20": s2[:, 0],
+        "mu02": s2[:, 1],
+        "mu11": s2[:, 2],
     }
+    if extra is not None:
+        feats["perimeter"] = s2[:, 3].at[0].set(0.0)
+    return feats
+
+
+def measure_with_perimeter_j(labels, max_regions: int):
+    """Fused measure + perimeter: the perimeter category weights ride the
+    central-moment scatter as a fourth packed column."""
+
+    return _measure_packed(
+        labels, max_regions, extra=_perimeter_weights_j(labels).ravel()
+    )
 
 
 def perimeters_j(labels, max_regions: int):
@@ -226,6 +251,20 @@ def perimeters_j(labels, max_regions: int):
     the per-region sum as a segment reduction."""
 
     import jax
+    import jax.numpy as jnp
+
+    weights = _perimeter_weights_j(labels)
+    flat = jnp.clip(labels.astype(jnp.int32).ravel(), 0, max_regions)
+    out = jax.ops.segment_sum(
+        weights.ravel(), flat, num_segments=max_regions + 1
+    )
+    return out.at[0].set(0.0)
+
+
+def _perimeter_weights_j(labels):
+    """Per-pixel skimage perimeter category weights (the scatter-ready
+    value map shared by :func:`perimeters_j` and the packed measure)."""
+
     import jax.numpy as jnp
 
     labels = labels.astype(jnp.int32)
@@ -270,12 +309,154 @@ def perimeters_j(labels, max_regions: int):
             jnp.where(mid, jnp.float32((1.0 + _SQRT2) / 2.0), 0.0),
         ),
     )
-    weights = jnp.where(border, weights, 0.0)
-    flat = jnp.clip(labels.ravel(), 0, max_regions)
-    out = jax.ops.segment_sum(
-        weights.ravel(), flat, num_segments=max_regions + 1
+    return jnp.where(border, weights, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# convex hull — device vertex extraction
+def hull_vertices_j(labels, max_regions: int, max_vertices: int = 64):
+    """Per-region convex-hull vertices, fully on device.
+
+    Replicates :func:`convex_hull_points` over the same candidate set the
+    host ``solidity_np`` builds (per-row column extremes inside each
+    region): Andrew's monotone chain in *integer* arithmetic, so the
+    vertex list is bit-identical to the host hull and the scan-line area
+    can stay a tiny host finalization in f64 — no label-frame download.
+
+    Returns ``(verts, nverts)``: ``verts`` (max_regions+1, max_vertices, 2)
+    int32 in the host's ``lower[:-1] + upper[:-1]`` order; ``nverts`` the
+    TRUE vertex count (may exceed ``max_vertices`` — callers must treat
+    those regions as saturated and fall back to the host hull).
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    labels = labels.astype(jnp.int32)
+    h, w = labels.shape
+    r_cap = max_regions
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lab = jnp.clip(labels, 0, r_cap)
+    seg = (lab * h + rows).ravel()
+    nseg = (r_cap + 1) * h
+    colf = cols.ravel().astype(jnp.float32)
+    mn = jax.ops.segment_min(colf, seg, num_segments=nseg).reshape(r_cap + 1, h)
+    mx = jax.ops.segment_max(colf, seg, num_segments=nseg).reshape(r_cap + 1, h)
+    has = mn <= mx  # absent (region,row) pairs keep the min/max identities
+    mn_i = jnp.where(has, mn, 0).astype(jnp.int32)
+    mx_i = jnp.where(has, mx, 0).astype(jnp.int32)
+
+    batch = r_cap + 1
+    rr = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[None, :], (batch, h))
+    # candidates in the host's np.unique order: (row, minc) then (row, maxc)
+    cand = jnp.stack(
+        [
+            jnp.stack([rr, mn_i], axis=-1),
+            jnp.stack([rr, mx_i], axis=-1),
+        ],
+        axis=2,
+    ).reshape(batch, 2 * h, 2)
+    valid = jnp.stack([has, has & (mx_i > mn_i)], axis=2).reshape(batch, 2 * h)
+
+    # compact valid candidates to the front of each lane (stable, so the
+    # lexicographic candidate order is preserved); the chain loop's trip
+    # count then tracks the LARGEST region, not the frame height
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    cand = jnp.take_along_axis(
+        cand, jnp.broadcast_to(order[..., None], cand.shape), axis=1
     )
-    return out.at[0].set(0.0)
+    ncand = jnp.sum(valid, axis=1).astype(jnp.int32)
+
+    ncap = 2 * h
+    stack_cap = h + 8  # chain keeps <=1 point per closed row (+ transients)
+    bidx = jnp.arange(batch)
+
+    def chain(cand, ncand):
+        # flat Andrew scan: every while iteration each lane either pops
+        # once or pushes once and advances — no nested pop loop, and lanes
+        # progress independently (total trips <= 2 * max ncand)
+        def cond(state):
+            _, _, t = state
+            return jnp.any(t < ncand)
+
+        def body(state):
+            stack, cnt, t = state
+            active = t < ncand
+            p = cand[bidx, jnp.minimum(t, ncap - 1)]
+            o = stack[bidx, jnp.maximum(cnt - 2, 0)]
+            a = stack[bidx, jnp.maximum(cnt - 1, 0)]
+            cross = (a[:, 0] - o[:, 0]) * (p[:, 1] - o[:, 1]) - (
+                a[:, 1] - o[:, 1]
+            ) * (p[:, 0] - o[:, 0])
+            pop = active & (cnt >= 2) & (cross <= 0)
+            push = active & ~pop
+            cnt = cnt - pop.astype(jnp.int32)
+            slot = jnp.minimum(cnt, stack_cap - 1)
+            cur = stack[bidx, slot]
+            stack = stack.at[bidx, slot].set(jnp.where(push[:, None], p, cur))
+            return stack, cnt + push.astype(jnp.int32), t + push.astype(jnp.int32)
+
+        init = (
+            jnp.zeros((batch, stack_cap, 2), jnp.int32),
+            jnp.zeros(batch, jnp.int32),
+            jnp.zeros(batch, jnp.int32),
+        )
+        stack, cnt, _ = jax.lax.while_loop(cond, body, init)
+        return stack, cnt
+
+    # reversed per-lane candidate order for the upper chain
+    j2 = jnp.arange(ncap, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(ncand[:, None] - 1 - j2, 0, ncap - 1)
+    rcand = jnp.take_along_axis(
+        cand, jnp.broadcast_to(rev_idx[..., None], cand.shape), axis=1
+    )
+    lower, nl = chain(cand, ncand)
+    upper, nu = chain(rcand, ncand)
+    nl1 = jnp.maximum(nl - 1, 0)
+    nu1 = jnp.maximum(nu - 1, 0)
+    nverts = nl1 + nu1
+
+    j = jnp.arange(max_vertices)
+    from_lower = j[None, :] < nl1[:, None]
+    li = jnp.broadcast_to(
+        jnp.minimum(j, stack_cap - 1)[None, :, None], (batch, max_vertices, 2)
+    )
+    ui = jnp.broadcast_to(
+        jnp.clip(j[None, :] - nl1[:, None], 0, stack_cap - 1)[..., None],
+        (batch, max_vertices, 2),
+    )
+    lv = jnp.take_along_axis(lower, li, axis=1)
+    uv = jnp.take_along_axis(upper, ui, axis=1)
+    verts = jnp.where(from_lower[..., None], lv, uv)
+    return verts, nverts
+
+
+def solidity_from_hulls(
+    area: np.ndarray,
+    verts: np.ndarray,
+    nverts: np.ndarray,
+    count: int,
+    max_vertices: int,
+) -> Tuple[np.ndarray, List[int]]:
+    """Host finalization of device hulls: the same f64 scan-line fill as
+    :func:`solidity_np` over pre-extracted vertices.  Returns (solidity,
+    saturated_regions) — saturated = true vertex count exceeded the device
+    padding, caller must redo those from the label frame."""
+
+    out = np.zeros(count + 1, dtype=np.float64)
+    saturated: List[int] = []
+    for region in range(1, count + 1):
+        n = int(nverts[region])
+        if n > max_vertices:
+            saturated.append(region)
+            continue
+        if n <= 2:
+            hull_area = float(area[region])
+        else:
+            hull_area = _hull_pixel_area(verts[region, :n].astype(np.float64))
+        out[region] = area[region] / max(hull_area, 1.0)
+    return out, saturated
 
 
 # ---------------------------------------------------------------------------
@@ -409,8 +590,11 @@ __all__ = [
     "RegionMeasurements",
     "measure_np",
     "measure_j",
+    "measure_with_perimeter_j",
     "perimeters_np",
     "convex_hull_points",
     "convex_area",
     "solidity_np",
+    "hull_vertices_j",
+    "solidity_from_hulls",
 ]

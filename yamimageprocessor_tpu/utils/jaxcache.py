@@ -1,0 +1,46 @@
+"""Persistent XLA compilation cache wiring.
+
+Mosaic/Pallas kernels in this package (bit-plane histograms, select-tree
+LUTs, the watershed flood) carry multi-minute first-compile costs on slow
+compile services; the persistent cache bounds that to once per machine.
+Every entry point (bench, graft entry, CLI, tests) calls
+:func:`enable_persistent_cache` before building jitted programs.
+
+The reference app has no compiled artifacts; this is TPU-runtime
+infrastructure with no reference counterpart.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".jax_cache"
+_enabled = False
+
+
+def enable_persistent_cache(cache_dir: str | os.PathLike | None = None) -> str:
+    """Point jax at an on-disk compilation cache (idempotent).
+
+    Honors an explicit ``JAX_COMPILATION_CACHE_DIR`` if the environment
+    already set one; otherwise uses ``<repo>/.jax_cache``.
+    """
+
+    global _enabled
+    import jax
+
+    target = str(
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or _DEFAULT_DIR
+    )
+    if _enabled and jax.config.jax_compilation_cache_dir == target:
+        return target
+    Path(target).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", target)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True
+    return target
+
+
+__all__ = ["enable_persistent_cache"]
