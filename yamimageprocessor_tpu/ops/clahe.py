@@ -347,4 +347,135 @@ def clahe_sharded_j(
     return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
 
 
-__all__ = ["clahe_np", "clahe_j", "clahe_sharded_j"]
+# ---------------------------------------------------------------------------
+# streaming two-pass decomposition (gigapixel chains containing CLAHE)
+#
+# The reference streams every chain tile-by-tile
+# (/root/reference/processing/pipeline_cache.py:416-574); CLAHE's global
+# state is its (gh, gw, 256) grid of tile histograms, so the stats pass
+# accumulates per-grid-cell histogram contributions from each stream tile
+# and the apply pass blends the resolved LUTs at the tile's absolute
+# frame coordinates.
+
+
+def clahe_stream_gate(grid_size: int, frame_shape) -> bool:
+    """True when the reflect-101 grid padding stays inside the last grid
+    cell, so stream tiles can fold mirror contributions locally (always
+    holds for large frames; tiny frames take the dense path)."""
+
+    h, w = int(frame_shape[0]), int(frame_shape[1])
+    gh = gw = int(grid_size)
+    ph = (-h) % gh
+    pw = (-w) % gw
+    th = (h + ph) // gh
+    tw = (w + pw) // gw
+    return th >= 2 * ph + 1 and tw >= 2 * pw + 1
+
+
+def clahe_grid_hist_tile_j(gray_tile, *, grid: Tuple[int, int], frame_shape, box):
+    """Stats pass: (gh, gw, 256) histogram contributions of one stream
+    tile.  ``box`` is the tile's traced (left, top, right, bottom); mirror
+    weights replicate the dense path's reflect-101 grid padding."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = int(frame_shape[0]), int(frame_shape[1])
+    gh, gw = grid
+    ph = (-h) % gh
+    pw = (-w) % gw
+    th = (h + ph) // gh
+    tw = (w + pw) // gw
+
+    t_h, t_w = gray_tile.shape
+    r = box[1] + jax.lax.broadcasted_iota(jnp.int32, (t_h, t_w), 0)
+    c = box[0] + jax.lax.broadcasted_iota(jnp.int32, (t_h, t_w), 1)
+    # reflect-101 pad sources: rows h-1-ph .. h-2 contribute a second copy
+    # (which lands in the same, last grid cell under the stream gate)
+    wr = jnp.where((ph > 0) & (r >= h - 1 - ph) & (r <= h - 2), 2, 1)
+    wc = jnp.where((pw > 0) & (c >= w - 1 - pw) & (c <= w - 2), 2, 1)
+    weight = (wr * wc).astype(jnp.int32)
+    ci = jnp.clip(r // th, 0, gh - 1)
+    cj = jnp.clip(c // tw, 0, gw - 1)
+    seg = (ci * gw + cj) * 256 + gray_tile.astype(jnp.int32)
+    hist = jax.ops.segment_sum(
+        weight.ravel(), seg.ravel(), num_segments=gh * gw * 256
+    )
+    return hist.reshape(gh, gw, 256)
+
+
+def clahe_apply_from_hist_j(
+    gray_tile, hist, *, clip_limit: float, grid: Tuple[int, int], frame_shape, box
+):
+    """Apply pass: resolve the grid LUTs from the accumulated histograms
+    and blend them bilinearly at the tile's absolute coordinates.
+
+    Interp fractions use exact integer arithmetic (floor((2r - th) /
+    (2*th)) and the remainder) so the per-tile f32 weights agree with the
+    dense path's f64-then-cast `_interp_weights` to the last ulp.  The
+    remaining gap vs the dense path is <=1 LSB on blend-rounding ties:
+    XLA's FMA contraction choices differ between the fused-chain programs,
+    the same documented tie behavior as dense-vs-cv2
+    (tests/test_preprocess_ops.py::test_clahe_matches_cv2_padded).
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = int(frame_shape[0]), int(frame_shape[1])
+    gh, gw = grid
+    ph = (-h) % gh
+    pw = (-w) % gw
+    th = (h + ph) // gh
+    tw = (w + pw) // gw
+    area = th * tw
+
+    luts = _clip_and_lut_j(hist, clip_limit, area)  # (gh, gw, 256) f32
+
+    t_h, t_w = gray_tile.shape
+    r = box[1] + jnp.arange(t_h, dtype=jnp.int32)
+    c = box[0] + jnp.arange(t_w, dtype=jnp.int32)
+
+    def axis_interp(pos, cell, count):
+        num = 2 * pos - cell  # 2*th*(pos/th - 0.5), exact ints
+        q = jnp.floor_divide(num, 2 * cell)
+        frac = (num - q * 2 * cell).astype(jnp.float32) / jnp.float32(2 * cell)
+        i0 = jnp.clip(q, 0, count - 1)
+        i1 = jnp.clip(q + 1, 0, count - 1)
+        return i0, i1, frac
+
+    y0, y1, fy = axis_interp(r, th, gh)
+    x0, x1, fx = axis_interp(c, tw, gw)
+    fy2 = fy[:, None]
+    fx2 = fx[None, :]
+    w00 = (1 - fy2) * (1 - fx2)
+    w01 = (1 - fy2) * fx2
+    w10 = fy2 * (1 - fx2)
+    w11 = fy2 * fx2
+
+    vals = gray_tile.astype(jnp.int32)
+
+    def upsample(table_k):
+        t00 = table_k[y0][:, x0]
+        t01 = table_k[y0][:, x1]
+        t10 = table_k[y1][:, x0]
+        t11 = table_k[y1][:, x1]
+        return w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+
+    def body(k, acc):
+        blended = upsample(luts[:, :, k])
+        return jnp.where(vals == k, blended, acc)
+
+    init = upsample(luts[:, :, 0])
+    out = jax.lax.fori_loop(1, 256, body, init)
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+
+__all__ = [
+    "clahe_np",
+    "clahe_j",
+    "clahe_sharded_j",
+    "clahe_stream_gate",
+    "clahe_grid_hist_tile_j",
+    "clahe_apply_from_hist_j",
+]

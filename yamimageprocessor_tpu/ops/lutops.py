@@ -50,7 +50,10 @@ def histogram256_j(img):
     if jax.default_backend() == "cpu":
         return jnp.zeros((256,), jnp.int32).at[img.ravel().astype(jnp.int32)].add(1)
 
-    if jax.default_backend() == "tpu":
+    # CSA bit-plane kernel wins only when the per-call decode cost
+    # amortizes (>~2 MPix); below that the plain level sweep is faster AND
+    # avoids a multi-minute Mosaic compile on slow compile services
+    if jax.default_backend() == "tpu" and img.size >= 2 * 1024 * 1024:
         try:
             from yamimageprocessor_tpu.pallas_kernels import (
                 histogram256_batchable,
@@ -60,12 +63,16 @@ def histogram256_j(img):
         except Exception:  # pragma: no cover - mosaic regressions
             pass
 
-    x = img.astype(jnp.int32)
-
-    def count(k):
-        return jnp.sum((x == k).astype(jnp.int32))
-
-    return jax.lax.map(count, jnp.arange(256, dtype=jnp.int32))
+    # chunked compare-sum: 8 fused VPU passes over the image (a lax.map
+    # over 256 levels costs 256 sequential dispatches instead)
+    x = img.reshape(-1).astype(jnp.int32)
+    chunks = []
+    for base in range(0, 256, 32):
+        levels = jnp.arange(base, base + 32, dtype=jnp.int32)
+        chunks.append(
+            jnp.sum((x[:, None] == levels[None, :]).astype(jnp.int32), axis=0)
+        )
+    return jnp.concatenate(chunks)
 
 
 __all__ = ["apply_lut_j", "histogram256_j"]

@@ -301,6 +301,45 @@ def clahe_op_sharded_j(
     return C.ycrcb_to_bgr_j(ycrcb)
 
 
+def clahe_tile_stats_j(
+    tile, dyn, *, clip_limit: float = 40.0, grid_size: int = 8, box=None, frame_shape=None
+):
+    """Streaming stats pass: per-grid-cell histogram contributions of one
+    stream tile (ops/clahe.py:clahe_grid_hist_tile_j); color tiles
+    contribute their YCrCb luma exactly as the dense path equalizes it."""
+
+    from yamimageprocessor_tpu.ops.clahe import clahe_grid_hist_tile_j
+
+    grid = (int(grid_size), int(grid_size))
+    gray = C.bgr_to_ycrcb_j(tile)[..., 0] if tile.ndim == 3 else tile
+    return clahe_grid_hist_tile_j(
+        gray, grid=grid, frame_shape=frame_shape, box=box
+    )
+
+
+def clahe_apply_stats_j(
+    tile, stats, dyn, *, clip_limit: float = 40.0, grid_size: int = 8, box=None, frame_shape=None
+):
+    from yamimageprocessor_tpu.ops.clahe import clahe_apply_from_hist_j
+
+    grid = (int(grid_size), int(grid_size))
+    kw = dict(
+        clip_limit=float(clip_limit), grid=grid, frame_shape=frame_shape, box=box
+    )
+    if tile.ndim == 2:
+        return clahe_apply_from_hist_j(tile, stats, **kw)
+    ycrcb = C.bgr_to_ycrcb_j(tile)
+    y = clahe_apply_from_hist_j(ycrcb[..., 0], stats, **kw)
+    ycrcb = ycrcb.at[..., 0].set(y)
+    return C.ycrcb_to_bgr_j(ycrcb)
+
+
+def clahe_stream_gate_op(static, frame_shape) -> bool:
+    from yamimageprocessor_tpu.ops.clahe import clahe_stream_gate
+
+    return clahe_stream_gate(int(static.get("grid_size", 8)), frame_shape)
+
+
 register_op(
     "preprocessing.clahe",
     golden_fn=clahe_op_np,
@@ -314,6 +353,10 @@ register_op(
     ),
     global_stats=True,  # tile grid spans the frame
     sharded_device_fn=clahe_op_sharded_j,
+    tile_stats_fn=clahe_tile_stats_j,
+    merge_stats_fn=lambda a, b: a + b,
+    apply_stats_fn=clahe_apply_stats_j,
+    stream_gate=clahe_stream_gate_op,
 )
 
 

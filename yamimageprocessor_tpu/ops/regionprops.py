@@ -367,6 +367,9 @@ def hull_vertices_j(labels, max_regions: int, max_vertices: int = 64):
         cand, jnp.broadcast_to(order[..., None], cand.shape), axis=1
     )
     ncand = jnp.sum(valid, axis=1).astype(jnp.int32)
+    # lane 0 is the background pseudo-region: it touches nearly every row,
+    # so left alone it alone would set the while trip count to ~2H
+    ncand = ncand.at[0].set(0)
 
     ncap = 2 * h
     stack_cap = h + 8  # chain keeps <=1 point per closed row (+ transients)

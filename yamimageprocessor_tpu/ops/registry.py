@@ -70,6 +70,10 @@ class OpImpl:
     tile_stats_fn: Optional[Callable[..., Any]] = None
     merge_stats_fn: Optional[Callable[..., Any]] = None
     apply_stats_fn: Optional[Callable[..., Any]] = None
+    #: optional predicate ``fn(static_params, frame_shape) -> bool`` gating
+    #: the streaming decomposition on geometry (e.g. CLAHE needs the grid
+    #: padding to stay inside the last cell); None = always streamable
+    stream_gate: Optional[Callable[..., bool]] = None
     #: extraction twin producing tabular records (pandas DataFrame), the
     #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
     data_fn: Optional[Callable[..., Any]] = None

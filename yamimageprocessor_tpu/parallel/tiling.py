@@ -75,12 +75,13 @@ def chain_tileable(steps: Sequence[Any]) -> bool:
     return True
 
 
-def chain_streamable(steps: Sequence[Any]) -> bool:
+def chain_streamable(steps: Sequence[Any], frame_shape=None) -> bool:
     """True when the chain streams without materializing: every enabled step
     is device-capable and non-reshaping, and every global-statistics step has
     a two-pass tile decomposition (``OpImpl.tile_stats_fn`` et al.).  Frame-
     coupled ops (watershed, labeling, clustering) return False and take the
-    dense path."""
+    dense path.  ``frame_shape`` lets geometry-gated decompositions
+    (``OpImpl.stream_gate``) opt out for degenerate sizes."""
 
     for step in steps:
         if not getattr(step, "enabled", True):
@@ -90,8 +91,13 @@ def chain_streamable(steps: Sequence[Any]) -> bool:
             return False
         if impl.reshapes:
             return False
-        if impl.global_stats and not impl.streamable_global:
-            return False
+        if impl.global_stats:
+            if not impl.streamable_global:
+                return False
+            if impl.stream_gate is not None and frame_shape is not None:
+                static, _ = impl.split_params(step.params, tuple(frame_shape))
+                if not impl.stream_gate(static, tuple(frame_shape)):
+                    return False
     return True
 
 
@@ -136,7 +142,10 @@ def stream_steps_tiled(
         return
 
     if not chain_tileable(enabled):
-        if chain_streamable(enabled):
+        shape = (
+            image.infer_shape() if hasattr(image, "infer_shape") else image.shape
+        )
+        if chain_streamable(enabled, tuple(int(s) for s in shape)):
             # two-pass streaming: global-stats ops accumulate their
             # statistics over one tile sweep, then apply pointwise on the
             # next — the frame is NEVER materialized (the reference streams
@@ -288,7 +297,9 @@ def _stream_with_stats(
             return hit
 
         @jax.jit
-        def run(region, stats_list):
+        def run(region, stats_list, region_box):
+            # region_box: traced (4,) int32 absolute coords of ``region``
+            # (the halo-expanded window) for position-aware global ops
             cur = region
             si = 0
             for i in range(upto):
@@ -301,6 +312,7 @@ def _stream_with_stats(
                         stats_list[si],
                         dyn_j,
                         frame_shape=frame_shape,
+                        box=region_box,
                         **static,
                     )
                     si += 1
@@ -318,11 +330,12 @@ def _stream_with_stats(
             return hit
         impl_g, static_g, dyn_g, _ = plans[g]
         fn = jax.jit(
-            lambda center, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
+            lambda center, center_box, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
                 _impl.tile_stats_fn,
                 center,
                 {k: jnp.asarray(v) for k, v in _dy.items()},
                 frame_shape=frame_shape,
+                box=center_box,
                 **_st,
             )
         )
@@ -349,9 +362,9 @@ def _stream_with_stats(
         for box in iter_tile_boxes(width, height, tsize):
             ebox = _expand_box(box, halo, width, height)
             region = jnp.asarray(np.asarray(image.read_region(ebox)))
-            out = runner(region, resolved[: len(resolved)])
+            out = runner(region, resolved[: len(resolved)], jnp.asarray(ebox, jnp.int32))
             center = crop_center(out, box, ebox)
-            contrib = stats_fn(center)
+            contrib = stats_fn(center, jnp.asarray(box, jnp.int32))
             acc = contrib if acc is None else impl_g.merge_stats_fn(acc, contrib)
         resolved.append(acc)
 
@@ -368,7 +381,9 @@ def _stream_with_stats(
     for box in iter_tile_boxes(width, height, tsize):
         ebox = _expand_box(box, halo, width, height)
         region = jnp.asarray(np.asarray(image.read_region(ebox)))
-        inflight.append((box, ebox, runner(region, resolved)))
+        inflight.append(
+            (box, ebox, runner(region, resolved, jnp.asarray(ebox, jnp.int32)))
+        )
         drain(_INFLIGHT)
     drain(0)
 
@@ -410,7 +425,7 @@ def _uniform_executables(plans, global_indices, frame_shape, tw, th):
 
     from yamimageprocessor_tpu.ops.registry import call_with_position
 
-    def run_steps(cur, stats_list, upto: int):
+    def run_steps(cur, stats_list, upto: int, window_box=None):
         si = 0
         for i in range(upto):
             impl, static, dyn, _ = plans[i]
@@ -422,6 +437,7 @@ def _uniform_executables(plans, global_indices, frame_shape, tw, th):
                     stats_list[si],
                     dyn_j,
                     frame_shape=frame_shape,
+                    box=window_box,
                     **static,
                 )
                 si += 1
@@ -440,18 +456,21 @@ def _uniform_executables(plans, global_indices, frame_shape, tw, th):
         dyn_gj = {k: np.asarray(v) for k, v in dyn_g.items()}
 
         @jax.jit
-        def batch_stats(stack, y0v, x0v, res, _impl=impl_g, _st=static_g, _dy=dyn_gj, _g=g):
-            def one(region, y0, x0):
-                out = run_steps(region, res, _g)
+        def batch_stats(
+            stack, y0v, x0v, wboxes, tboxes, res, _impl=impl_g, _st=static_g, _dy=dyn_gj, _g=g
+        ):
+            def one(region, y0, x0, wbox, tbox):
+                out = run_steps(region, res, _g, wbox)
                 return call_with_position(
                     _impl.tile_stats_fn,
                     center(out, y0, x0),
                     {k: jnp.asarray(v) for k, v in _dy.items()},
                     frame_shape=frame_shape,
+                    box=tbox,
                     **_st,
                 )
 
-            contribs = jax.vmap(one)(stack, y0v, x0v)
+            contribs = jax.vmap(one)(stack, y0v, x0v, wboxes, tboxes)
             acc = jax.tree_util.tree_map(lambda a: a[0], contribs)
             for i in range(1, stack.shape[0]):
                 acc = _impl.merge_stats_fn(
@@ -463,11 +482,11 @@ def _uniform_executables(plans, global_indices, frame_shape, tw, th):
         merge_fns.append(jax.jit(impl_g.merge_stats_fn))
 
     @jax.jit
-    def batch_final(stack, y0v, x0v, res):
-        def one(region, y0, x0):
-            return center(run_steps(region, res, len(plans)), y0, x0)
+    def batch_final(stack, y0v, x0v, wboxes, res):
+        def one(region, y0, x0, wbox):
+            return center(run_steps(region, res, len(plans), wbox), y0, x0)
 
-        return jax.vmap(one)(stack, y0v, x0v)
+        return jax.vmap(one)(stack, y0v, x0v, wboxes)
 
     entry = (stats_fns, merge_fns, batch_final)
     _UNIFORM_JIT_CACHE[key] = entry
@@ -518,6 +537,8 @@ def _stream_uniform(
         )
         y0 = np.array([o[0] for o in offsets[sl]], np.int32)
         x0 = np.array([o[1] for o in offsets[sl]], np.int32)
+        wb = np.array(windows[sl], np.int32)
+        tb = np.array(boxes[sl], np.int32)
         if mesh is not None and regions.shape[0] % mesh.devices.size == 0:
             # data-parallel tiles: the batch dim shards over the mesh, so
             # each chip runs the chain on its tiles and the stats merge
@@ -530,8 +551,16 @@ def _stream_uniform(
                 jax.device_put(regions, sharded),
                 jnp.asarray(y0),
                 jnp.asarray(x0),
+                jnp.asarray(wb),
+                jnp.asarray(tb),
             )
-        return jnp.asarray(regions), jnp.asarray(y0), jnp.asarray(x0)
+        return (
+            jnp.asarray(regions),
+            jnp.asarray(y0),
+            jnp.asarray(x0),
+            jnp.asarray(wb),
+            jnp.asarray(tb),
+        )
 
     probe = np.asarray(image.read_region(windows[0]))
     total_bytes = probe.nbytes * len(boxes)
@@ -555,15 +584,31 @@ def _stream_uniform(
     resolved: List[Any] = []
     for batch_stats, merge in zip(stats_fns, merge_fns):
         acc = None
-        for stack, y0v, x0v in stacks():
-            contrib = batch_stats(stack, y0v, x0v, resolved)
+        for stack, y0v, x0v, wbv, tbv in stacks():
+            contrib = batch_stats(stack, y0v, x0v, wbv, tbv, resolved)
             acc = contrib if acc is None else merge(acc, contrib)
         resolved.append(acc)
 
-    for sl, (stack, y0v, x0v) in zip(batches, stacks()):
-        outs = np.asarray(batch_final(stack, y0v, x0v, resolved))
-        for out, box in zip(outs, boxes[sl]):
-            on_tile(box, out)
+    # final pass with an in-flight D2H window: dispatch the next batches
+    # while earlier results download (the non-uniform path already
+    # overlapped; a serial np.asarray here left transfer behind compute)
+    inflight: List[Tuple[slice, Any]] = []
+
+    def drain(limit: int) -> None:
+        while len(inflight) > limit:
+            sl, dev = inflight.pop(0)
+            for out, box in zip(np.asarray(dev), boxes[sl]):
+                on_tile(box, out)
+
+    for sl, (stack, y0v, x0v, wbv, tbv) in zip(batches, stacks()):
+        dev = batch_final(stack, y0v, x0v, wbv, resolved)
+        try:
+            dev.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        inflight.append((sl, dev))
+        drain(_INFLIGHT)
+    drain(0)
 
 
 def apply_steps_tiled(
