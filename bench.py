@@ -278,6 +278,28 @@ def _extra_extraction() -> None:
         }
     )
 
+    # mass-extraction batch (the reference's folder flow,
+    # ui/extraction.py:1676-1814): async dispatch + gathered transfers
+    from yamimageprocessor_tpu.ops import extraction_device as XD
+
+    if XD.use_device_extraction():
+        frames = [
+            np.repeat(_dense_scene(side, seed=s)[..., None], 3, axis=-1)
+            for s in range(8)
+        ]
+        XD.region_tables_device(frames)  # warm
+        start = time.perf_counter()
+        tables = XD.region_tables_device(frames)
+        elapsed = time.perf_counter() - start
+        _stderr(
+            {
+                "extra": "extraction_mass_batched",
+                "value": round(len(frames) * mpix / elapsed, 3),
+                "unit": "MPix/s",
+                "frames": len(frames),
+            }
+        )
+
 
 def _extra_gigapixel() -> None:
     """BASELINE config 5: tiled streaming throughput (host<->HBM pipeline);

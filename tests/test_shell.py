@@ -223,3 +223,123 @@ def test_cli_launch_interactive_flag_exists(workspace, capsys):
             "--settings", str(settings),
             "launch", "--stages", "preprocessing", "--interactive",
         ])
+
+
+def test_shell_view_mode_renders_pixels(workspace, tmp_path_factory):
+    """'v' opens the image view: actual halftone pixels in the pane area,
+    pan/zoom keys drive the viewport, 'w' exports a PNG (reference
+    PreviewWidget contract, yam_processor/ui/dialogs.py:171-290)."""
+
+    tmp_path, settings = workspace
+
+    def body(shell):
+        from yamimageprocessor_tpu.ui.imageview import ASCII_RAMP
+
+        shell.load(tmp_path / "cell.png")
+        shell.run_preview()
+        assert shell.handle_key("v")
+        assert shell.mode == "view"
+        frame = shell.render(90, 30)
+        text = "\n".join(frame)
+        assert "-- view" in text and "zoom fit" in text
+        # the pane area carries halftone cells, not a stats line
+        body_chars = set("".join(frame[2:20]))
+        assert body_chars & set(ASCII_RAMP[1:])
+        # zoom + pan keys
+        assert shell.handle_key("1")  # 100%
+        assert "100%" in "\n".join(shell.render(90, 30))
+        before = shell.viewport.center
+        assert shell.handle_key("l")
+        assert shell.viewport.center[1] > before[1]
+        # export to PNG through the prompt
+        out = tmp_path / "view.png"
+        assert shell.handle_key("w")
+        for ch in str(out):
+            shell.handle_key(ch)
+        shell.handle_key("\n")
+        assert out.exists() and out.stat().st_size > 0
+        assert shell.mode == "view"
+        # leave view mode
+        assert shell.handle_key("escape")
+        assert shell.mode == "normal"
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_view_without_preview_is_graceful(workspace):
+    tmp_path, settings = workspace
+
+    def body(shell):
+        assert shell.handle_key("v")
+        assert shell.mode == "normal"
+        assert "no preview" in (shell.status[-1] if shell.status else "")
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_graphics_request_kitty(workspace, monkeypatch):
+    tmp_path, settings = workspace
+    monkeypatch.setenv("YAM_TERM_GRAPHICS", "kitty")
+
+    def body(shell):
+        shell.load(tmp_path / "cell.png")
+        shell.run_preview()
+        shell.handle_key("v")
+        shell.handle_key("g")
+        assert shell.pending_graphics is not None
+        assert shell.pending_graphics.startswith("\x1b_G")
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_shell_view_gigapixel_memmap_no_materialize(workspace):
+    """VERDICT r2 missing #1: a shell session over a 16k^2 memmap source
+    displays the preview and pans without materializing."""
+
+    tmp_path, settings = workspace
+    side = 16384
+    mm_path = tmp_path / "giga.npy"
+    mm = np.lib.format.open_memmap(
+        mm_path, mode="w+", dtype=np.uint8, shape=(side, side)
+    )
+    for row in range(0, side, 4096):  # cheap deterministic fill
+        mm[row : row + 4096] = (row // 64) % 251
+    mm.flush()
+    del mm
+
+    def body(shell):
+        pane = shell.session.pane(Stage.PREPROCESSING)
+        shell.load(mm_path)  # lazy: 256 MPix >> 64 MP threshold
+        record = getattr(pane, "_lazy_record", None)
+        assert record is not None, "16k^2 source must load lazily"
+
+        reads = []
+        orig_read = record.read_region
+
+        def counting_read(box):
+            reads.append(tuple(int(v) for v in box))
+            return orig_read(box)
+
+        record.read_region = counting_read
+        record.to_array = lambda: (_ for _ in ()).throw(
+            AssertionError("source materialized")
+        )
+
+        shell.handle_key("v")
+        assert shell.mode == "view", "view must open over the lazy pyramid"
+        shell.render(80, 26)  # fit view drawn from streamed level reads
+        shell.handle_key("1")  # 100% zoom
+        reads.clear()
+        shell.render(80, 26)
+        assert reads, "100% view must come from region reads"
+        assert all((r - l) <= 96 and (b - t) <= 64 for (l, t, r, b) in reads)
+        shell.handle_key("l")  # pan right
+        reads.clear()
+        shell.render(80, 26)
+        assert all((r - l) <= 96 and (b - t) <= 64 for (l, t, r, b) in reads)
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)

@@ -294,9 +294,22 @@ def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
     lab0 = jnp.where(border, _WSHED, lab0)
 
     block = min(block_rows, max(8, -(-h // 8) * 8))  # sublane-aligned
-    hp = -(-h // block) * block  # pad rows to a whole number of blocks
     wp = -(-w // 128) * 128  # pad lanes to the vreg width
     k = min(k_sweeps, block)
+
+    # scoped-VMEM budget: the kernel keeps ~16 (block+2k, wp) i32 arrays
+    # live (5 scratch buffers + sweep temporaries + double buffering);
+    # at wp=4096 the former fixed (64, 8) geometry wanted 21.4M against
+    # the 16M scoped limit.  Shrink block, then k, until the footprint
+    # fits a 13M budget — same fixed point, just more grid steps.
+    r2_cap = max(24, (13 << 20) // (64 * wp))
+    while block + 2 * k > r2_cap and block > 8:
+        block = max(8, block // 2)
+    while block + 2 * k > r2_cap and k > 2:
+        k = max(2, k // 2)
+    k = min(k, block)
+
+    hp = -(-h // block) * block  # pad rows to a whole number of blocks
 
     def pad2(a, fill):
         return jnp.pad(

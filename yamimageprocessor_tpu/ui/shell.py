@@ -55,7 +55,12 @@ class ShellController:
         self.diagnostics_visible = False
         self.quit_requested = False
         self._previews: dict = {}
+        self._preview_images: dict = {}
         self._hub = diagnostics_hub
+        # image view mode (the PreviewWidget equivalent: zoom/pan over the
+        # preview pyramid, ref yam_processor/ui/dialogs.py:171-290)
+        self.viewport = None
+        self.pending_graphics: Optional[str] = None
         # step selection + modal state (the reference routes parameter
         # editing through per-op ParameterDialogs, ui/preprocessing.py:
         # 242-607; here the selected step opens an inline editor driven by
@@ -97,6 +102,7 @@ class ShellController:
                 str(image.dtype),
                 float(image.mean()) if image.size else 0.0,
             )
+            self._preview_images[stage] = image
 
         return hook
 
@@ -227,6 +233,96 @@ class ShellController:
         self.set_status("Edit cancelled")
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # image view mode (renders actual pixels — ASCII halftone inline, and
+    # kitty/sixel streams emitted by the curses adapter on demand)
+    _VIEW_PANEL = (72, 30)  # halftone cell grid (2:1 cell aspect baked in)
+
+    def begin_view(self) -> None:
+        from yamimageprocessor_tpu.ui.imageview import ImageViewport
+        from yamimageprocessor_tpu.ui.preview import PreviewRecord
+
+        pane = self.active_pane
+        stage = self.active_stage
+        preview = None
+        record = None
+        image = self._preview_images.get(stage)
+        if image is not None and getattr(image, "size", 0):
+            preview = PreviewRecord.build(np.asarray(image))
+        elif getattr(pane, "preview_record", None) is not None:
+            # lazy/gigapixel source: pan via region reads, never to_array
+            preview = pane.preview_record
+            record = getattr(pane, "_lazy_record", None)
+        if preview is None:
+            self.set_status("view: no preview to display (press r first)")
+            return
+        self.viewport = ImageViewport(preview, record=record)
+        self.mode = "view"
+
+    def end_view(self) -> None:
+        self.mode = "normal"
+
+    def _view_panel_size(self) -> Tuple[int, int]:
+        return self._VIEW_PANEL
+
+    def request_graphics(self) -> None:
+        """Queue a kitty/sixel frame for the terminal adapter to emit
+        outside the curses screen (protocol from the environment)."""
+
+        from yamimageprocessor_tpu.ui import imageview as IV
+
+        if self.viewport is None:
+            return
+        proto = IV.detect_graphics_protocol()
+        frame = self.viewport.view(768, 480)
+        if proto == "kitty":
+            self.pending_graphics = IV.encode_kitty(frame)
+        elif proto == "sixel":
+            self.pending_graphics = IV.encode_sixel(frame)
+        else:
+            self.set_status("terminal reports no graphics protocol (ascii only)")
+
+    def export_view(self, path: Path) -> None:
+        from yamimageprocessor_tpu.ui.imageview import write_png
+
+        if self.viewport is None:
+            raise ValueError("no active view")
+        cols, rows = self._VIEW_PANEL
+        write_png(Path(path), self.viewport.view(cols * 12, rows * 24))
+        self.set_status(f"Exported view to {Path(path).name}")
+
+    def handle_view_key(self, key: str) -> bool:
+        vp = self.viewport
+        if vp is None:
+            self.mode = "normal"
+            return True
+        cols, rows = self._VIEW_PANEL
+        vw, vh = cols, rows * 2  # square-ish source pixels per cell grid
+        low = key.lower()
+        if low in ("escape", "\x1b", "q"):
+            self.end_view()
+        elif low in ("left", "key_left", "h"):
+            vp.pan(0, -0.25, vw, vh)
+        elif low in ("right", "key_right", "l"):
+            vp.pan(0, 0.25, vw, vh)
+        elif low in ("up", "key_up", "k"):
+            vp.pan(-0.25, 0, vw, vh)
+        elif low in ("down", "key_down", "j"):
+            vp.pan(0.25, 0, vw, vh)
+        elif low in ("+", "="):
+            vp.zoom_by(2.0, vw, vh)
+        elif low == "-":
+            vp.zoom_by(0.5, vw, vh)
+        elif low == "0":
+            vp.fit()
+        elif low == "1":
+            vp.at_100()
+        elif low == "g":
+            self.request_graphics()
+        elif low == "w":
+            self.begin_prompt("export")
+        return True
+
     def begin_prompt(self, purpose: str) -> None:
         self.mode = "prompt"
         self.prompt_purpose = purpose
@@ -234,7 +330,8 @@ class ShellController:
 
     def finish_prompt(self) -> None:
         path = self.prompt_buffer.strip()
-        self.mode = "normal"
+        was_export = self.prompt_purpose == "export"
+        self.mode = "view" if was_export and self.viewport is not None else "normal"
         if not path:
             return
         try:
@@ -245,6 +342,8 @@ class ShellController:
                 if hasattr(pane, "save_processed_image"):
                     pane.save_processed_image(Path(path))
                     self.set_status(f"Saved {Path(path).name}")
+            elif was_export:
+                self.export_view(Path(path))
         except Exception as exc:  # surfaced, not fatal — reference dialogs
             self.set_status(f"{self.prompt_purpose} failed: {exc}")
 
@@ -263,6 +362,9 @@ class ShellController:
             elif len(key) == 1 and key.isprintable():
                 self.prompt_buffer += key
             return True
+
+        if self.mode == "view":
+            return self.handle_view_key(key)
 
         if self.mode == "edit":
             low = key.lower()
@@ -304,6 +406,9 @@ class ShellController:
         if key == "o":
             self.begin_prompt("open")
             return True
+        if key == "v":
+            self.begin_view()
+            return True
         if key == "s":
             self.begin_prompt("save")
             return True
@@ -325,6 +430,17 @@ class ShellController:
         return False
 
     # ------------------------------------------------------------------
+    def _view_lines(self, width: int, rows: int) -> List[str]:
+        from yamimageprocessor_tpu.ui.imageview import ascii_halftone
+
+        vp = self.viewport
+        cols = min(self._VIEW_PANEL[0], max(8, width - 2))
+        cells = min(self._VIEW_PANEL[1], max(4, rows - 2))
+        frame = vp.view(cols, cells * 2)  # 2:1 character cell aspect
+        lines = [f"-- view {vp.describe(cols, cells * 2)} --"[:width]]
+        lines.extend(ascii_halftone(frame, cols, cells))
+        return lines
+
     def _pane_lines(self, width: int) -> List[str]:
         pane = self.active_pane
         stage = self.active_stage
@@ -380,7 +496,11 @@ class ShellController:
         body_rows = height - 3
         dock_rows = min(8, body_rows // 2) if self.diagnostics_visible else 0
         lines = [header[:width]]
-        pane_lines = self._pane_lines(width)[: body_rows - dock_rows]
+        if self.mode == "view" and self.viewport is not None:
+            pane_lines = self._view_lines(width, body_rows - dock_rows)
+        else:
+            pane_lines = self._pane_lines(width)
+        pane_lines = pane_lines[: body_rows - dock_rows]
         lines.extend(pane_lines)
         lines.extend([""] * (body_rows - dock_rows - len(pane_lines)))
         if dock_rows:
@@ -391,10 +511,15 @@ class ShellController:
             hint = f"{self.prompt_purpose} path: {self.prompt_buffer}_"
         elif self.mode == "edit":
             hint = "up/down param  left/right adjust  Enter apply  Esc cancel"
+        elif self.mode == "view":
+            hint = (
+                "arrows/hjkl pan  +/- zoom  0 fit  1 100%  g graphics  "
+                "w export png  Esc back"
+            )
         else:
             hint = (
-                "1/2/3 tabs  up/down step  Space toggle  e edit  o open  "
-                "s save  r run  u/y undo/redo  d diagnostics  q quit"
+                "1/2/3 tabs  up/down step  Space toggle  e edit  v view  "
+                "o open  s save  r run  u/y undo/redo  d diagnostics  q quit"
             )
         lines.append(hint[:width])
         return lines[:height]
@@ -447,6 +572,21 @@ def run_shell(session, *, screen=None, max_frames: Optional[int] = None) -> int:
             except curses.error:
                 continue
             controller.handle_key(key)
+            if controller.pending_graphics:
+                # kitty/sixel streams bypass curses: suspend the screen,
+                # write the escape stream, wait for a key, resume
+                payload = controller.pending_graphics
+                controller.pending_graphics = None
+                curses.endwin()
+                try:
+                    import sys as _sys
+
+                    _sys.stdout.write(payload + "\n[any key to return]")
+                    _sys.stdout.flush()
+                    stdscr.getkey()
+                except Exception:
+                    pass
+                stdscr.refresh()
         return 0
 
     try:
