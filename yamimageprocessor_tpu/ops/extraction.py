@@ -278,11 +278,24 @@ def _largest_contour(image: np.ndarray):
     return max(contours, key=SH.contour_area)
 
 
+def _fourier_selected(contour: np.ndarray, num_coeff: int):
+    """(selected +-k coefficients, reconstruction) — device DFT kernel on
+    the accelerator (``XD.fourier_dft_j``: masked matmuls over a padded
+    bucket), f64 FFT golden on host."""
+
+    if XD.use_device_extraction():
+        return XD.fourier_descriptors_device(contour, int(num_coeff))
+    coeffs, recon = SH.fourier_reconstruct(contour, int(num_coeff))
+    k = min(int(num_coeff), len(coeffs))
+    selected = np.concatenate([coeffs[:k], coeffs[-k:]]) if k else np.array([])
+    return selected, recon
+
+
 def fourier_descriptors_extraction(image: np.ndarray, num_coeff: int = 10):
     largest = _largest_contour(image)
     if largest is None:
         return image
-    _, recon = SH.fourier_reconstruct(largest, int(num_coeff))
+    _, recon = _fourier_selected(largest, int(num_coeff))
     annotated = image.copy()
     AN.draw_polyline(
         annotated, np.rint(recon).astype(np.int64), (0, 255, 255), 2, closed=True
@@ -294,7 +307,7 @@ def fourier_data(image: np.ndarray, num_coeff: int = 10) -> pd.DataFrame:
     largest = _largest_contour(image)
     if largest is None:
         return pd.DataFrame()
-    coeffs, recon = SH.fourier_reconstruct(largest, int(num_coeff))
+    selected, recon = _fourier_selected(largest, int(num_coeff))
     polygon = np.rint(recon).astype(np.int64)
     area = SH.contour_area(polygon)
     perimeter = SH.arc_length(polygon, closed=True)
@@ -305,8 +318,6 @@ def fourier_data(image: np.ndarray, num_coeff: int = 10) -> pd.DataFrame:
         "perimeter": perimeter,
         "circularity": circularity,
     }
-    k = min(int(num_coeff), len(coeffs))
-    selected = np.concatenate([coeffs[:k], coeffs[-k:]]) if k else np.array([])
     for i, coeff in enumerate(selected):
         data[f"coeff_{i}_real"] = coeff.real
         data[f"coeff_{i}_imag"] = coeff.imag
@@ -317,7 +328,8 @@ register_op(
     "extraction.fourier",
     golden_fn=fourier_descriptors_extraction,
     data_fn=fourier_data,
-    jittable=False,
+    feature_fn=XD.fourier_dft_j,
+    jittable=False,  # contour tracing + polyline annotation are host-side
     global_stats=True,
 )
 
@@ -449,23 +461,38 @@ register_op(
 # (J) Approximate shape (core/extraction.py:339-421)
 def _optimize_epsilon(contour: np.ndarray, error_threshold: float):
     """Smallest epsilon factor whose simplification stays within the mean
-    boundary error (``core/extraction.py:339-366``)."""
+    boundary error (``core/extraction.py:339-366``).
+
+    Douglas-Peucker stays host (cheap recursion over few vertices); the
+    O(factors x points x vertices) mean-error evaluation batches into one
+    device dispatch on the accelerator (``XD.polygon_mean_errors_j``).
+    """
 
     arc = SH.arc_length(contour, closed=True)
     factors = np.arange(0.005, 0.101, 0.005)
+    approxes = [
+        SH.approx_poly_dp(contour, float(factor) * arc).reshape(-1, 2)
+        for factor in factors
+    ]
+    if XD.use_device_extraction() and len(contour):
+        avgs = XD.polygon_mean_errors_device(
+            contour.reshape(-1, 2).astype(np.float64), approxes
+        )
+    else:
+        avgs = []
+        for approx in approxes:
+            errors = [
+                SH.point_polygon_distance(approx, (float(p[0]), float(p[1])))
+                for p in contour
+            ]
+            avgs.append(float(np.mean(errors)) if errors else 0.0)
     best = None
     best_err = np.inf
-    for factor in factors:
-        approx = SH.approx_poly_dp(contour, factor * arc)
-        errors = [
-            SH.point_polygon_distance(approx, (float(p[0]), float(p[1])))
-            for p in contour
-        ]
-        avg = float(np.mean(errors)) if errors else 0.0
+    for factor, approx, avg in zip(factors, approxes, avgs):
         if avg <= error_threshold:
             return factor, approx
         if avg < best_err:
-            best_err = avg
+            best_err = float(avg)
             best = (factor, approx)
     return best if best is not None else (factors[0], contour)
 
@@ -521,7 +548,8 @@ register_op(
     "extraction.approximate_shape",
     golden_fn=approximate_shape_extraction,
     data_fn=approximate_shape_data,
-    jittable=False,
+    feature_fn=XD.polygon_mean_errors_j,
+    jittable=False,  # contour tracing + text annotation are host-side
     global_stats=True,
 )
 

@@ -219,6 +219,168 @@ def hog_device_fn(
     return (255.0 * (viz - lo) / (hi - lo + 1e-6)).astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# (F) Fourier descriptors — device DFT over padded contours
+# (reference core/extraction.py:204-245: FFT of the largest contour,
+# truncate to +-num_coeff, reconstruct).  Contour TRACING stays host (a
+# sequential Moore automaton); the numeric core — the +-k spectral lines
+# and the truncated-spectrum reconstruction — runs as two masked matmuls
+# over a power-of-two padded point list, so ONE compiled kernel serves
+# every contour length in the bucket.  Angles reduce (m*j) mod n in int32
+# before the f32 cos/sin, keeping precision at any contour length.
+
+
+def fourier_dft_j(pts, n, ms, dup_w):
+    """pts (N, 2) f32 padded points; n traced true length; ms (2k,) the
+    spectral indices [0..k-1, n-k..n-1]; dup_w (2k,) zeroes the second
+    copy of any index that appears in both halves (n < 2k), matching the
+    golden path's overwrite-not-add ``kept`` construction.
+
+    Returns (coeff_re, coeff_im, recon) — recon (N, 2) valid to row n.
+    """
+
+    import jax.numpy as jnp
+
+    cap = pts.shape[0]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    valid = j < n
+    zr = jnp.where(valid, pts[:, 0], 0.0)
+    zi = jnp.where(valid, pts[:, 1], 0.0)
+    nf = jnp.float32(n)
+    mj = (ms[:, None].astype(jnp.int32) * j[None, :]) % n  # exact int32
+    theta = (2.0 * np.pi) * mj.astype(jnp.float32) / nf
+    c = jnp.cos(theta) * valid[None, :]
+    s = jnp.sin(theta) * valid[None, :]
+    # forward: coeff_m = sum_j z_j * exp(-i theta)
+    re = c @ zr + s @ zi
+    im = c @ zi - s @ zr
+    # inverse of the truncated spectrum: recon_j = (1/n) sum_m kept_m e^{+i theta}
+    kr = re * dup_w
+    ki = im * dup_w
+    rr = (c.T @ kr - s.T @ ki) / nf
+    ri = (s.T @ kr + c.T @ ki) / nf
+    recon = jnp.stack([rr, ri], axis=1) * valid[:, None]
+    return re, im, recon
+
+
+_FOURIER_JITS: Dict[Tuple[int, int], object] = {}
+
+
+def fourier_descriptors_device(points_xy: np.ndarray, num_coeff: int):
+    """Host wrapper: pad to a power-of-two bucket, run the cached kernel,
+    trim.  Returns (selected coeffs complex (2k,), recon (n, 2))."""
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(points_xy)
+    k = min(int(num_coeff), n)
+    if k == 0 or n == 0:
+        return np.zeros(0, complex), np.zeros((0, 2))
+    cap = 64
+    while cap < n:
+        cap *= 2
+    key = (cap, k)
+    fn = _FOURIER_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(fourier_dft_j)
+        _FOURIER_JITS[key] = fn
+    pts = np.zeros((cap, 2), np.float32)
+    pts[:n] = points_xy[:, :2]
+    t = np.arange(k)
+    ms = np.concatenate([t, (n - k + t) % n]).astype(np.int32)
+    # zero duplicated spectral lines in the reconstruction only (the CSV
+    # keeps both copies, exactly like the golden concat)
+    dup = np.zeros(2 * k, np.float32)
+    dup[:k] = 1.0
+    dup[k:] = (~np.isin(ms[k:], ms[:k])).astype(np.float32)
+    re, im, recon = fn(
+        jnp.asarray(pts), jnp.int32(n), jnp.asarray(ms), jnp.asarray(dup)
+    )
+    re, im, recon = jax.device_get((re, im, recon))
+    return re.astype(np.float64) + 1j * im.astype(np.float64), recon[:n].astype(
+        np.float64
+    )
+
+
+# ---------------------------------------------------------------------------
+# (J) Approximate polygon — device error evaluation for the epsilon
+# search (reference core/extraction.py:339-421).  Douglas-Peucker itself
+# is a cheap host recursion over <=hundreds of vertices; the O(factors *
+# points * vertices) mean-boundary-error evaluation is the hot loop and
+# runs as one masked device reduction over every candidate polygon.
+
+
+def polygon_mean_errors_j(contour, npts, polys, nverts):
+    """contour (N, 2) f32 padded, npts traced; polys (F, V, 2) f32 padded
+    candidate polygons with true vertex counts nverts (F,).  Returns (F,)
+    mean over valid contour points of the min point-to-edge distance —
+    the device twin of ``SH.point_polygon_distance`` averaged."""
+
+    import jax
+    import jax.numpy as jnp
+
+    cap = contour.shape[0]
+    fcount, vcap, _ = polys.shape
+    j = jnp.arange(vcap, dtype=jnp.int32)
+    pvalid = jnp.arange(cap) < npts
+    pw = pvalid.astype(jnp.float32)
+
+    def one(poly, nv):
+        evalid = j < nv
+        nxt = jnp.where(j + 1 < nv, j + 1, 0)
+        a = poly  # (V, 2)
+        b = poly[nxt]
+        ab = b - a  # (V, 2)
+        denom = (ab * ab).sum(-1)  # (V,)
+        ap = contour[:, None, :] - a[None, :, :]  # (N, V, 2)
+        t = (ap * ab[None, :, :]).sum(-1) / jnp.maximum(denom, 1e-30)[None, :]
+        t = jnp.where(denom[None, :] == 0, 0.0, jnp.clip(t, 0.0, 1.0))
+        q = a[None, :, :] + t[..., None] * ab[None, :, :]
+        d = jnp.sqrt(((contour[:, None, :] - q) ** 2).sum(-1))  # (N, V)
+        d = jnp.where(evalid[None, :], d, jnp.inf)
+        best = jnp.min(d, axis=1)  # (N,)
+        return (best * pw).sum() / jnp.maximum(pw.sum(), 1.0)
+
+    return jax.lax.map(lambda args: one(*args), (polys, nverts))
+
+
+_POLYERR_JITS: Dict[Tuple[int, int, int], object] = {}
+
+
+def polygon_mean_errors_device(
+    contour: np.ndarray, polys: list
+) -> np.ndarray:
+    """Host wrapper: bucket-pad the contour and candidate polygons, one
+    dispatch, one scalar vector back."""
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(contour)
+    cap = 64
+    while cap < n:
+        cap *= 2
+    vmax = max(len(p) for p in polys)
+    vcap = 8
+    while vcap < vmax:
+        vcap *= 2
+    key = (cap, vcap, len(polys))
+    fn = _POLYERR_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(polygon_mean_errors_j)
+        _POLYERR_JITS[key] = fn
+    cpad = np.zeros((cap, 2), np.float32)
+    cpad[:n] = contour[:, :2]
+    ppad = np.zeros((len(polys), vcap, 2), np.float32)
+    nv = np.zeros(len(polys), np.int32)
+    for i, p in enumerate(polys):
+        ppad[i, : len(p)] = p
+        nv[i] = len(p)
+    out = fn(jnp.asarray(cpad), jnp.int32(n), jnp.asarray(ppad), jnp.asarray(nv))
+    return np.asarray(out).astype(np.float64)
+
+
 def use_device_extraction() -> bool:
     """Data-path routing: device features on the accelerator, numpy golden
     on the CPU harness (tests compare the two directly)."""
