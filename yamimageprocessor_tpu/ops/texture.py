@@ -87,15 +87,19 @@ def lbp_j(gray, *, p: int = 8, r: float = 1.0):
         v01 = work[base_y : base_y + h, base_x + 1 : base_x + 1 + w]
         v10 = work[base_y + 1 : base_y + 1 + h, base_x : base_x + w]
         v11 = work[base_y + 1 : base_y + 1 + h, base_x + 1 : base_x + 1 + w]
+        # interpolate the DIFFERENCE to the center: |v - c| <= 255 keeps
+        # the f32 rounding ~3e-5 absolute, vs ~1e-3 when interpolating the
+        # raw ~200-level values and subtracting after — 30x fewer
+        # comparison-tie flips against the f64 golden
         val = (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
+            (v00 - img) * (1 - fy) * (1 - fx)
+            + (v01 - img) * (1 - fy) * fx
+            + (v10 - img) * fy * (1 - fx)
+            + (v11 - img) * fy * fx
         )
         samples.append(val)
     stack = jnp.stack(samples, axis=0)
-    bits = stack >= img[None, :, :]
+    bits = stack >= 0.0
     ones = bits.sum(axis=0)
     rolled = jnp.roll(bits, 1, axis=0)
     transitions = (bits != rolled).sum(axis=0)

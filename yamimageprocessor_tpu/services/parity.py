@@ -61,6 +61,49 @@ CASES = [
         },
         0,
     ),
+    (
+        "segmentation.closing",
+        {"kernel_shape": "Rectangular", "kernel_size": 5, "iterations": 2},
+        0,
+    ),
+    (
+        "segmentation.dilation",
+        {"kernel_shape": "Elliptical", "kernel_size": 3, "iterations": 2},
+        0,
+    ),
+    ("segmentation.region_split_merge", {"min_size": 16, "std_thresh": 10.0}, 0),
+    ("extraction.gabor", {"ksize": 21, "sigma": 5.0, "theta": 0.0}, 1),
+    (
+        "extraction.hog",
+        {"orientations": 9, "pixels_per_cell": (8, 8), "cells_per_block": (3, 3)},
+        1,
+    ),
+]
+
+# stochastic/iterative clustering ops: f32 device vs f64 golden may flip
+# pixels at cluster boundaries — audited by agreement fraction, the same
+# criterion the CPU suite uses (tests/test_segmentation_advanced.py)
+AGREEMENT_CASES = [
+    # LBP: bilinear samples can EXACTLY equal the center (irrational-weight
+    # integer ties); the f64 golden's sign there is rounding noise, so
+    # raster agreement is the honest criterion (device interpolates the
+    # center-difference, keeping f32 flips to true-tie pixels only)
+    ("extraction.lbp", {"P": 8, "R": 1.0}, 0.99, "bgr"),
+    ("segmentation.kmeans", {"K": 2, "seed": 42}, 0.995, "bgr"),
+    ("segmentation.fuzzy_cmeans", {"K": 2, "seed": 42}, 0.995, "bgr"),
+    ("segmentation.gmm", {"components": 2, "seed": 42}, 0.99, "bgr"),
+    (
+        "segmentation.mean_shift",
+        {"spatial_radius": 4, "color_radius": 30},
+        0.99,
+        "bgr32",
+    ),
+]
+
+# region-mask ops audited by IoU (device and golden run the same update
+# rule from independent float stacks)
+IOU_CASES = [
+    ("segmentation.graph_cuts", {}, 0.9),
 ]
 
 
@@ -152,6 +195,208 @@ def run_parity_cases(
     total += 1
     passed += diff == 0
     emit(f"{'OK ' if diff == 0 else 'FAIL'} clahe fast path 256x2048: maxdiff={diff}")
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        nonlocal passed, total
+        total += 1
+        passed += bool(ok)
+        if not ok:
+            failures.append(name)
+        emit(f"{'OK ' if ok else 'FAIL'} {name:44s} {detail}")
+
+    # ---- agreement-fraction cases (clustering family)
+    for identifier, params, min_agree, which in AGREEMENT_CASES:
+        impl = get_impl(identifier)
+        image = bgr[:32, :32] if which == "bgr32" else bgr
+        golden = impl.golden_fn(image, **params)
+        static, dyn = impl.split_params(params, image.shape)
+        dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+        device = np.asarray(impl.device_fn(jnp.asarray(image), dyn_j, **static))
+        agree = float((device == golden).mean())
+        check(identifier, agree >= min_agree, f"agree={agree:.4f} (min {min_agree})")
+
+    # ---- IoU cases
+    for identifier, params, min_iou in IOU_CASES:
+        impl = get_impl(identifier)
+        golden = impl.golden_fn(bgr, **params)
+        static, dyn = impl.split_params(params, bgr.shape)
+        dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+        device = np.asarray(impl.device_fn(jnp.asarray(bgr), dyn_j, **static))
+        inter = float(((device > 0) & (golden > 0)).sum())
+        union = float(((device > 0) | (golden > 0)).sum())
+        iou = inter / max(union, 1.0)
+        check(identifier, iou >= min_iou, f"iou={iou:.3f} (min {min_iou})")
+
+    # ---- snake: device overlay within 2 px of the golden contour
+    snake = get_impl("segmentation.active_contour")
+    sp = dict(iterations=50, alpha=0.015, beta=10.0, gamma=0.001)
+    golden = snake.golden_fn(bgr, **sp)
+    static, dyn = snake.split_params(sp, bgr.shape)
+    device = np.asarray(
+        snake.device_fn(
+            jnp.asarray(bgr), {k: jnp.asarray(v) for k, v in dyn.items()}, **static
+        )
+    )
+
+    def _green(img):
+        return (img[..., 1] == 255) & (img[..., 0] == 0) & (img[..., 2] == 0)
+
+    def _within(a, b, r):
+        pad = np.pad(b, r)
+        hits = np.zeros_like(a)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                hits |= pad[r + dy : r + dy + a.shape[0], r + dx : r + dx + a.shape[1]]
+        return bool((~a | hits).all())
+
+    ga, gb = _green(device), _green(golden)
+    check(
+        "segmentation.active_contour",
+        ga.any() and gb.any() and _within(ga, gb, 2) and _within(gb, ga, 2),
+        "overlay within 2px both directions",
+    )
+
+    # ---- distance transform (inside the watershed chain; audited alone)
+    from yamimageprocessor_tpu.ops.distance import (
+        distance_transform_j,
+        distance_transform_np,
+    )
+
+    mask = (gray > 120).astype(np.uint8)
+    dg = distance_transform_np(mask)
+    dd = np.asarray(distance_transform_j(jnp.asarray(mask)))
+    check("distance_transform", bool((dg == dd).all()), "bit-exact")
+
+    # ---- device extraction feature kernels (feature-vector parity, the
+    # families whose golden output is a text-annotated raster)
+    import jax
+
+    from yamimageprocessor_tpu.ops import extraction as EX
+    from yamimageprocessor_tpu.ops import extraction_device as XDev
+    from yamimageprocessor_tpu.ops import hogf as HG
+    from yamimageprocessor_tpu.ops import regionprops as RP
+    from yamimageprocessor_tpu.ops import shape as SHp
+    from yamimageprocessor_tpu.ops import texture as TXt
+    from yamimageprocessor_tpu.ops.labeling import label_np
+
+    labels_np = label_np(EX._binary(bgr) > 0)
+    meas = RP.measure_np(labels_np)
+
+    labels_j, feats = XDev.region_features_j(bgr, max_regions=64)
+    n = int(np.asarray(feats["count"]))
+    check(
+        "xfeat.labels+count",
+        bool((np.asarray(labels_j) == labels_np).all()) and n == meas.count,
+        f"regions={n}",
+    )
+    ok = (
+        np.allclose(np.asarray(feats["area"])[: n + 1], meas.area[: n + 1])
+        and np.allclose(
+            np.asarray(feats["perimeter"])[: n + 1], meas.perimeter, rtol=1e-4
+        )
+        and np.allclose(
+            np.asarray(feats["centroid_r"])[: n + 1], meas.centroid_r, rtol=1e-4
+        )
+        and np.allclose(
+            np.asarray(feats["eccentricity"])[: n + 1],
+            meas.eccentricity(),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+    )
+    check("xfeat.region_properties", ok, "area/perimeter/centroid/ecc")
+
+    table = XDev.region_table_device(bgr)
+    sol_ok = not table.get("saturated") and np.array_equal(
+        table["solidity"], RP.solidity_np(labels_np, meas)
+    )
+    check("xfeat.solidity_hull", bool(sol_ok), "device hull bit-exact")
+
+    hu_d = np.asarray(jax.jit(XDev.hu_features_j)(bgr))
+    hu_g = SHp.hu_moments(SHp.moments_np(EX._binary(bgr)))
+    check(
+        "xfeat.hu_moments",
+        bool(np.allclose(hu_d, hu_g, rtol=1e-3, atol=1e-10)),
+        "7 invariants",
+    )
+
+    har_d = np.asarray(jax.jit(XDev.haralick_features_j)(bgr))
+    pg = EX._haralick_props(bgr, 1, 0.0)
+    har_g = np.array([pg["contrast"], pg["correlation"], pg["energy"], pg["homogeneity"]])
+    check(
+        "xfeat.haralick",
+        bool(np.allclose(har_d, har_g, rtol=1e-3, atol=1e-5)),
+        "GLCM props",
+    )
+
+    from yamimageprocessor_tpu.ops import color as Col
+
+    hist_d = np.asarray(jax.jit(XDev.histogram_features_j)(bgr))
+    hs = TXt.histogram_stats_np(Col.bgr_to_gray_np(bgr))
+    hist_g = np.array([hs["mean"], hs["variance"], hs["skewness"], hs["kurtosis"]])
+    check(
+        "xfeat.histogram_stats",
+        bool(np.allclose(hist_d, hist_g, rtol=1e-3, atol=1e-4)),
+        "mean/var/skew/kurt",
+    )
+
+    fr_d = float(np.asarray(jax.jit(XDev.fractal_feature_j)(bgr)))
+    fr_g = float(HG.fractal_dimension(EX._binary(bgr, maxval=1), 2))
+    check("xfeat.fractal", abs(fr_d - fr_g) < 1e-3, f"{fr_d:.4f} vs {fr_g:.4f}")
+
+    hfe_d, _ = HG.hog_features_j(
+        jnp.asarray(gray),
+        orientations=9,
+        pixels_per_cell=(8, 8),
+        cells_per_block=(3, 3),
+    )
+    hfe_g, _ = HG.hog_features_np(gray, 9, (8, 8), (3, 3))
+    check(
+        "xfeat.hog_features",
+        bool(np.allclose(np.asarray(hfe_d), hfe_g, rtol=1e-3, atol=1e-4)),
+        "descriptor vector",
+    )
+
+    contour = max(SHp.trace_external_contours(EX._binary(bgr)), key=SHp.contour_area)
+    sel_d, recon_d = XDev.fourier_descriptors_device(contour, 10)
+    coeffs, recon_g = SHp.fourier_reconstruct(contour, 10)
+    kk = min(10, len(coeffs))
+    sel_g = np.concatenate([coeffs[:kk], coeffs[-kk:]])
+    scale = max(1.0, float(np.abs(sel_g).max()))
+    check(
+        "xfeat.fourier",
+        bool(
+            np.allclose(sel_d / scale, sel_g / scale, atol=2e-4)
+            and np.allclose(recon_d, recon_g, atol=0.05)
+        ),
+        "+-k coefficients + reconstruction",
+    )
+
+    arc = SHp.arc_length(contour, closed=True)
+    polys = [
+        SHp.approx_poly_dp(contour, f * arc).reshape(-1, 2)
+        for f in (0.005, 0.02, 0.08)
+    ]
+    err_d = XDev.polygon_mean_errors_device(
+        contour.reshape(-1, 2).astype(np.float64), polys
+    )
+    err_g = [
+        float(
+            np.mean(
+                [
+                    SHp.point_polygon_distance(p, (float(q[0]), float(q[1])))
+                    for q in contour
+                ]
+            )
+        )
+        for p in polys
+    ]
+    check(
+        "xfeat.approx_polygon_errors",
+        bool(np.allclose(err_d, err_g, rtol=1e-3, atol=1e-3)),
+        "epsilon-search mean errors",
+    )
+
     return passed, total
 
 
