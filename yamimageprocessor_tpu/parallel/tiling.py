@@ -123,6 +123,7 @@ def stream_steps_tiled(
     *,
     tile_size: Optional[Tuple[int, int]] = None,
     mesh: Any = None,
+    device_sink: Optional[Callable[[List[TileBox], Any], None]] = None,
 ) -> None:
     """Run ``steps`` over a tiled source, invoking ``on_tile`` per finished
     tile in reference row-major order.
@@ -151,7 +152,9 @@ def stream_steps_tiled(
             # next — the frame is NEVER materialized (the reference streams
             # every chain, processing/pipeline_cache.py:416-574; its tests
             # prove it by making to_array() raise).
-            _stream_with_stats(enabled, image, on_tile, tsize, mesh=mesh)
+            _stream_with_stats(
+                enabled, image, on_tile, tsize, mesh=mesh, device_sink=device_sink
+            )
             return
         # frame-coupled ops (watershed, labeling, clustering) genuinely
         # need the full frame: materialize once, run dense, re-emit in
@@ -229,6 +232,7 @@ def _stream_with_stats(
     on_tile: Callable[[TileBox, np.ndarray], None],
     tsize: Optional[Tuple[int, int]],
     mesh: Any = None,
+    device_sink: Optional[Callable[[List[TileBox], Any], None]] = None,
 ) -> None:
     """Multi-pass tile streaming for chains containing global-statistics
     ops: pass k streams the prefix before global op k and accumulates that
@@ -279,6 +283,7 @@ def _stream_with_stats(
                 height,
                 frame_shape,
                 mesh=mesh,
+                device_sink=device_sink,
             )
             return
 
@@ -504,6 +509,7 @@ def _stream_uniform(
     height: int,
     frame_shape: Tuple[int, ...],
     mesh: Any = None,
+    device_sink: Optional[Callable[[List[TileBox], Any], None]] = None,
 ) -> None:
     """Uniform-grid multi-pass streaming: every tile reads the SAME-shape
     halo window (shifted inward at frame edges), so tiles batch into
@@ -602,6 +608,11 @@ def _stream_uniform(
 
     for sl, (stack, y0v, x0v, wbv, tbv) in zip(batches, stacks()):
         dev = batch_final(stack, y0v, x0v, wbv, resolved)
+        if device_sink is not None:
+            # device-resident result mode: D2H deferred to save-time (the
+            # sink owns the device batch + its tile boxes)
+            device_sink(boxes[sl], dev)
+            continue
         try:
             dev.copy_to_host_async()
         except Exception:  # pragma: no cover - backend-dependent
