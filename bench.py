@@ -133,15 +133,24 @@ def _dense_scene(side: int, seed: int = 3) -> np.ndarray:
 
     rng = np.random.default_rng(seed)
     img = np.zeros((side, side), np.uint8)
-    yy, xx = np.mgrid[:side, :side]
     pitch = 128
     for cy in range(pitch // 2, side, pitch):
         for cx in range(pitch // 2, side, pitch):
             r = 40 + int(rng.integers(0, 12))
-            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 170 + int(
+            # mask only the disk's bounding box: identical pixels/draw order
+            # to the full-frame form, but O(r^2) per disk instead of
+            # O(side^2) (full-frame took minutes at 4096^2)
+            y0, y1 = max(0, cy - r), min(side, cy + r + 1)
+            x0, x1 = max(0, cx - r), min(side, cx + r + 1)
+            yy, xx = np.ogrid[y0:y1, x0:x1]
+            box = img[y0:y1, x0:x1]
+            box[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 170 + int(
                 rng.integers(0, 60)
             )
-    noise = rng.integers(-12, 13, img.shape)
+    # int16 draws: the int64 default costs ~45 s of host time at 4096^2
+    # on this box (the scene only needs same-bits-for-device-and-golden,
+    # not any particular bits)
+    noise = rng.integers(-12, 13, img.shape, dtype=np.int16)
     return (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
 
 
@@ -414,6 +423,13 @@ def _extra_watershed_4096() -> None:
 
 def main() -> None:
     import jax
+
+    from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
+
+    # big Mosaic kernels (the 4096^2 watershed flood) carry multi-minute
+    # first compiles on slow compile services; the on-disk cache bounds
+    # that to once per machine, so the per-extra alarms below are safe
+    enable_persistent_cache()
 
     # A downed accelerator relay makes backend init HANG rather than raise,
     # so probe it in a subprocess (with retries — it wedges transiently)

@@ -28,6 +28,15 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None) -> str:
     global _enabled
     import jax
 
+    # TPU-only: Mosaic first-compiles are the multi-minute cost the cache
+    # bounds.  CPU compiles are cheap AND the XLA:CPU AOT loader accepts
+    # cache entries from hosts with different CPU features ("could lead to
+    # execution errors such as SIGILL"), so a shared cache dir must never
+    # serve the CPU harness (the driver's virtual-mesh dryrun).
+    platforms = os.environ.get("JAX_PLATFORMS", jax.config.jax_platforms or "")
+    if "cpu" in platforms.lower():
+        return ""
+
     target = str(
         cache_dir
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
