@@ -58,6 +58,18 @@ def brightness_contrast_j(img, dyn):
     return F.to_uint8_j(jnp.abs(scaled))
 
 
+def brightness_contrast_lut_j(img, dyn):
+    """(256,) table of the uint8 action — per level v the arithmetic is
+    identical to :func:`brightness_contrast_j` on a pixel of value v, so
+    table application is exact."""
+
+    import jax.numpy as jnp
+
+    del img
+    levels = jnp.arange(256, dtype=jnp.float32)
+    return F.to_uint8_j(jnp.abs(levels * dyn["alpha"] + dyn["beta"]))
+
+
 register_op(
     "preprocessing.brightness_contrast",
     golden_fn=brightness_contrast_np,
@@ -69,6 +81,7 @@ register_op(
             "beta": np.float32(params.get("beta", 0.0)),
         },
     ),
+    lut_fn=brightness_contrast_lut_j,
 )
 
 
@@ -93,6 +106,7 @@ register_op(
     golden_fn=gamma_np,
     device_fn=gamma_j,
     split=lambda params: ({}, {"lut": K.gamma_lut(float(params.get("value", 1.0)))}),
+    lut_fn=lambda img, dyn: dyn["lut"],
 )
 
 
@@ -180,10 +194,19 @@ def equalization_lut_j(hist):
     return lut
 
 
-def _equalize_gray_j(gray):
-    from yamimageprocessor_tpu.ops.lutops import apply_lut_j, histogram256_j
+def _equalize_lut_from_image_j(gray):
+    """The (256,) equalization table :func:`_equalize_gray_j` applies —
+    exposed for the chain compiler's LUT-run composition."""
 
-    return apply_lut_j(gray, equalization_lut_j(histogram256_j(gray)))
+    from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+    return equalization_lut_j(histogram256_j(gray))
+
+
+def _equalize_gray_j(gray):
+    from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
+    return apply_lut_j(gray, _equalize_lut_from_image_j(gray))
 
 
 def histeq_j(img, dyn):
@@ -250,6 +273,11 @@ register_op(
     tile_stats_fn=histeq_tile_stats_j,
     merge_stats_fn=lambda a, b: a + b,
     apply_stats_fn=histeq_apply_stats_j,
+    # gray equalization IS a stats-derived LUT; the color path (YCrCb
+    # luma round-trip) is not, hence the ndim gate
+    lut_fn=lambda img, dyn: _equalize_lut_from_image_j(img),
+    lut_needs_image=True,
+    lut_ndims=(2,),
 )
 
 
@@ -567,10 +595,19 @@ def sharpen_np(image: np.ndarray, strength: float = 1.0) -> np.ndarray:
 def sharpen_j(img, dyn):
     import jax.numpy as jnp
 
-    # NOTE: the pallas sepconv does NOT pay off here — at 19 taps its
-    # unrolled roll chain exceeds scoped VMEM at useful block heights and
-    # measured 2.2 GPix/s vs 2.6 for this XLA form; the kernel is wired
-    # only where it wins (the small-kernel Gaussian denoise)
+    # NOTE: the XLA path stays after a four-variant pallas A/B at 19 taps
+    # (2048^2 uint8, v5e): unrolled sepconv rows=64 2.2 GPix/s; dynamic
+    # fori_loop taps (dynamic sublane rolls) 0.10; column-blocked unrolled
+    # 0.52 (narrow strided DMAs are latency-bound); fori tap-groups with
+    # static roll-by-1 0.49 — vs 2.6 for this XLA form.  Mosaic hoists all
+    # k rolled tap planes regardless of serial value chains or VMEM
+    # write-back barriers (store-forwarded away), so scoped VMEM caps the
+    # block height at exactly the tap counts where the kernel would win,
+    # and jax.lax.optimization_barrier is unimplemented in the TC
+    # lowering.  Reassociating the taps (symmetric pairing, tap-chunk
+    # partial sums) would dodge the VMEM wall but breaks the bit-exact f32
+    # add order the golden parity contract requires.  The pallas sepconv
+    # is wired only where it wins (the small-kernel Gaussian denoise).
     blurred = F.sep_filter_j(img, dyn["taps"], dyn["taps"])
     if img.dtype == np.uint8:
         blurred = F.to_uint8_j(blurred)

@@ -74,6 +74,18 @@ class OpImpl:
     #: the streaming decomposition on geometry (e.g. CLAHE needs the grid
     #: padding to stay inside the last cell); None = always streamable
     stream_gate: Optional[Callable[..., bool]] = None
+    #: LUT expressibility: ops whose uint8 action is exactly ``lut[img]``
+    #: for a 256-entry table expose ``lut_fn(img, dyn, **static) -> (256,)
+    #: uint8`` (traced).  The chain compiler composes maximal runs of such
+    #: steps into ONE table application (``compose(L2, L1)[x] == L2[L1[x]]``
+    #: — exact, no float re-rounding), collapsing several full-frame HBM
+    #: passes into one.  ``lut_needs_image`` marks stats-derived tables
+    #: (histogram equalization) — those may only OPEN a run, value-only
+    #: tables (gamma, brightness/contrast) may extend it.  ``lut_ndims``
+    #: restricts applicability (hist-eq's color path is YCrCb, not a LUT).
+    lut_fn: Optional[Callable[..., Any]] = None
+    lut_needs_image: bool = False
+    lut_ndims: Tuple[int, ...] = (2, 3)
     #: extraction twin producing tabular records (pandas DataFrame), the
     #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
     data_fn: Optional[Callable[..., Any]] = None

@@ -76,6 +76,8 @@ class CompiledChain:
         self._segment_fns: Dict[int, Any] = {}
         self._segment_dyn: Dict[int, List[Dict[str, Any]]] = {}
         self._statics: Dict[int, Dict[str, Any]] = {}
+        #: seg_idx -> {segment-local start: run length} of composed LUT runs
+        self.lut_runs: Dict[int, Dict[int, int]] = {}
 
         spec = jax.ShapeDtypeStruct(self.shape, self.dtype)
         for seg_idx, plan in enumerate(self.plans):
@@ -88,10 +90,11 @@ class CompiledChain:
                 # deferred: built lazily on first run when shape is known
                 self._segment_fns[seg_idx] = None
                 continue
-            fn, dyns, statics, spec = self._build_device_segment(plan, spec)
+            fn, dyns, statics, spec, runs = self._build_device_segment(plan, spec)
             self._segment_fns[seg_idx] = fn
             self._segment_dyn[seg_idx] = dyns
             self._statics[seg_idx] = statics
+            self.lut_runs[seg_idx] = runs
 
     # ------------------------------------------------------------------
     def _build_device_segment(self, plan: _SegmentPlan, spec):
@@ -102,13 +105,20 @@ class CompiledChain:
         cur = spec
         dyn_per_step: List[Dict[str, Any]] = []
         static_per_step: List[Dict[str, Any]] = []
+        lut_ok: List[bool] = []  # LUT-expressible at this chain position?
         item_shape = cur.shape[1:] if self.batch else cur.shape
 
         for step in steps:
             if not step.enabled or step.impl is None:
                 dyn_per_step.append({})
                 static_per_step.append({})
+                lut_ok.append(False)
                 continue
+            lut_ok.append(
+                step.impl.lut_fn is not None
+                and np.dtype(cur.dtype) == np.uint8
+                and len(item_shape) in step.impl.lut_ndims
+            )
             static, dyn = step.impl.split_params(step.params, item_shape)
             dyn_per_step.append(dyn)
             static_per_step.append(static)
@@ -129,13 +139,63 @@ class CompiledChain:
                 out_spec.dtype,
             )
 
+        # Maximal runs of LUT-expressible steps collapse into ONE table
+        # application: compose(L2, L1)[v] == L2[L1[v]] exactly on uint8, so
+        # every step's output is reproduced bit-identically as
+        # ``composed_prefix[run_input]`` while the full-frame intermediate
+        # applies become dead code whenever only the run's last output is
+        # consumed (bench/run_final under jit) — one HBM pass instead of N.
+        # Stats-derived tables (lut_needs_image, e.g. hist-eq) may only OPEN
+        # a run: their table is built from the run input, which is exactly
+        # the frame they would have seen sequentially.
+        lut_runs: Dict[int, int] = {}
+        i = 0
+        while i < len(steps):
+            if lut_ok[i]:
+                j = i + 1
+                while (
+                    j < len(steps)
+                    and lut_ok[j]
+                    and not steps[j].impl.lut_needs_image
+                ):
+                    j += 1
+                if j - i >= 2:
+                    lut_runs[i] = j - i
+                i = j
+            else:
+                i += 1
+
         def single(img, dyn_list):
+            from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
             outs = []
             cur_img = img
-            for step, dyn, static in zip(steps, dyn_list, static_per_step):
+            pos = 0
+            while pos < len(steps):
+                length = lut_runs.get(pos, 0)
+                if length:
+                    x = cur_img
+                    composed = None
+                    for j in range(pos, pos + length):
+                        lut = steps[j].impl.lut_fn(
+                            x, dyn_list[j], **static_per_step[j]
+                        ).astype(jnp.uint8)
+                        composed = (
+                            lut
+                            if composed is None
+                            else lut[composed.astype(jnp.int32)]
+                        )
+                        cur_img = apply_lut_j(x, composed)
+                        outs.append(cur_img)
+                    pos += length
+                    continue
+                step = steps[pos]
                 if step.enabled and step.impl is not None:
-                    cur_img = step.impl.device_fn(cur_img, dyn, **static)
+                    cur_img = step.impl.device_fn(
+                        cur_img, dyn_list[pos], **static_per_step[pos]
+                    )
                 outs.append(cur_img)
+                pos += 1
             return tuple(outs)
 
         if self.batch:
@@ -143,7 +203,7 @@ class CompiledChain:
             fn = jax.jit(inner)
         else:
             fn = jax.jit(single)
-        return fn, dyn_per_step, static_per_step, cur
+        return fn, dyn_per_step, static_per_step, cur, lut_runs
 
     # ------------------------------------------------------------------
     def refresh_params(self, steps: Sequence[PipelineStep]) -> None:
