@@ -27,7 +27,11 @@ def main() -> int:
     import jax
 
     from yamimageprocessor_tpu.services.parity import run_parity_cases
+    from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
 
+    # share bench.py's on-disk compile cache so each Mosaic kernel's
+    # multi-minute first compile is paid at most once per machine
+    enable_persistent_cache()
     print(f"backend: {jax.default_backend()}")
     passed, total = run_parity_cases(report=print)
     print("PARITY:", "PASS" if passed == total else f"{total - passed} FAILURES")

@@ -392,9 +392,13 @@ def use_device_extraction() -> bool:
 
 MAX_HULL_VERTICES = 64  # static padding for device hull vertex lists
 
-# packed feature row order (one (12, R+1) f32 transfer instead of a dict
-# of 12 blocking per-array pulls — round trips dominate on high-latency
-# links, see VERDICT r2 weak #1)
+# packed feature row order (everything — features, hull vertices, vertex
+# counts, overflow flag — rides ONE (13+2V+1, R+1) f32 transfer instead of
+# a dict of blocking per-array pulls: round trips dominate on high-latency
+# links, see VERDICT r2 weak #1).  max_label makes overflow detection
+# EXACT: labels beyond the static capacity clip into the last segment, so
+# ``count == capacity`` alone cannot distinguish "exactly capacity regions"
+# (valid) from "clipped" (garbage) — the raw label maximum can.
 _PACK_KEYS = (
     "area",
     "centroid_r",
@@ -408,24 +412,38 @@ _PACK_KEYS = (
     "mu11",
     "perimeter",
     "count",
+    "max_label",
 )
 
 
 def region_packed_j(img, max_regions: int = MAX_REGIONS):
-    """Single-dispatch extraction bundle: labels stay on device; features
-    pack into one (12, R+1) f32 array; convex-hull vertices come out as a
-    padded int32 block (``RP.hull_vertices_j`` — bit-identical to the host
-    monotone chain, eliminating the label download for solidity)."""
+    """Single-dispatch extraction bundle: labels stay on device; features,
+    convex-hull vertices (``RP.hull_vertices_j`` — bit-identical to the
+    host monotone chain, eliminating the label download for solidity),
+    vertex counts and the overflow flag fuse into ONE f32 array so the
+    host needs a single D2H transfer per frame."""
 
     import jax.numpy as jnp
 
     labels, feats = region_features_j(img, max_regions)
+    feats["max_label"] = jnp.max(labels).astype(jnp.float32)
     packed = jnp.stack(
-        [feats[k].astype(jnp.float32) for k in _PACK_KEYS[:-1]]
-        + [jnp.full((max_regions + 1,), feats["count"], jnp.float32)]
+        [
+            jnp.broadcast_to(
+                jnp.asarray(feats[k], jnp.float32), (max_regions + 1,)
+            )
+            for k in _PACK_KEYS
+        ]
     )
     verts, nverts = RP.hull_vertices_j(labels, max_regions, MAX_HULL_VERTICES)
-    return labels, packed, verts, nverts
+    # hull coordinates/counts are < 2^24 — exact in f32
+    verts_rows = (
+        verts.reshape(max_regions + 1, 2 * MAX_HULL_VERTICES).T.astype(jnp.float32)
+    )
+    bundle = jnp.concatenate(
+        [packed, verts_rows, nverts.astype(jnp.float32)[None, :]], axis=0
+    )
+    return labels, bundle
 
 
 FAST_REGIONS = 64  # first-tier capacity: most frames have < 64 regions
@@ -452,17 +470,24 @@ def _jitted_region_packed(max_regions: int = MAX_REGIONS):
 
 
 def _finalize_region_table(
-    packed: np.ndarray,
-    verts: np.ndarray,
-    nverts: np.ndarray,
+    bundle: np.ndarray,
     labels_dev,
     capacity: int = MAX_REGIONS,
 ) -> Dict[str, np.ndarray]:
-    row = {k: packed[i] for i, k in enumerate(_PACK_KEYS)}
+    row = {k: bundle[i] for i, k in enumerate(_PACK_KEYS)}
+    nk = len(_PACK_KEYS)
+    verts = (
+        bundle[nk : nk + 2 * MAX_HULL_VERTICES]
+        .T.reshape(capacity + 1, MAX_HULL_VERTICES, 2)
+        .astype(np.int64)
+    )
+    nverts = bundle[nk + 2 * MAX_HULL_VERTICES].astype(np.int64)
     n = int(row["count"][0])
-    if n >= capacity:
-        # the static capacity clips overflow regions into one garbage
-        # segment; the caller must fall back to the unbounded host path
+    if int(row["max_label"][0]) > capacity:
+        # labels beyond the static capacity clipped into one garbage
+        # segment; the caller must re-run at a larger tier (or fall back
+        # to the unbounded host path).  EXACT: a frame with precisely
+        # ``capacity`` regions stays on this tier.
         return {"saturated": True}
     meas = RP.RegionMeasurements(
         count=n,
@@ -511,28 +536,37 @@ def region_tables_device(frames) -> list:
     fetching anything, so device compute and D2H transfers overlap and the
     per-frame sync latency amortizes across the batch.
 
+    Geometry features only need the binary mask, so color frames upload as
+    the (bit-exact) host grayscale — one third of the H2D bytes.
+
     Two-tier capacity: everything runs at the 64-region tier first (8x
-    smaller segment space and hull batch); only frames that saturate it
-    re-run at the 512-region tier, and past THAT the caller falls back to
-    the unbounded host labeling."""
+    smaller segment space and hull batch); only frames whose raw label
+    count EXCEEDS it re-run at the 512-region tier, and past THAT the
+    caller falls back to the unbounded host labeling."""
 
     import jax
+    import jax.numpy as jnp
 
+    grays = [
+        C.bgr_to_gray_np(f) if getattr(f, "ndim", 2) == 3 else f for f in frames
+    ]
     fast = _jitted_region_packed(FAST_REGIONS)
-    outs = [fast(f) for f in frames]  # async dispatch, no blocking
-    fetched = jax.device_get([(p, v, nv) for (_, p, v, nv) in outs])
+    outs = [fast(f) for f in grays]  # async dispatch, no blocking
+    # ONE stacked transfer for the whole batch: per-bundle device_get pays
+    # the relay round trip N times; the on-device stack pays it once
+    fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
     tables = [
-        _finalize_region_table(p, v, nv, outs[i][0], FAST_REGIONS)
-        for i, (p, v, nv) in enumerate(fetched)
+        _finalize_region_table(fetched[i], outs[i][0], FAST_REGIONS)
+        for i in range(len(outs))
     ]
     retry = [i for i, t in enumerate(tables) if t.get("saturated")]
     if retry:
         full = _jitted_region_packed(MAX_REGIONS)
-        outs2 = [full(frames[i]) for i in retry]
-        fetched2 = jax.device_get([(p, v, nv) for (_, p, v, nv) in outs2])
-        for k, (p, v, nv) in enumerate(fetched2):
+        outs2 = [full(grays[i]) for i in retry]
+        fetched2 = np.asarray(jnp.stack([b for (_, b) in outs2]))
+        for k in range(len(outs2)):
             tables[retry[k]] = _finalize_region_table(
-                p, v, nv, outs2[k][0], MAX_REGIONS
+                fetched2[k], outs2[k][0], MAX_REGIONS
             )
     return tables
 

@@ -10,9 +10,14 @@ process).  Reference parity classes: bit-exact for integer/mask ops
 """
 from __future__ import annotations
 
+import time
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
+
+
+class _OutOfTime(Exception):
+    """Raised between cases when the caller's time budget is exhausted."""
 
 CASES = [
     # (identifier, params, tolerance)
@@ -128,23 +133,59 @@ def synthetic_scene(
     return gray, bgr
 
 
+def planned_total() -> int:
+    """Number of checks a full audit performs (truncation detector)."""
+
+    #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + agreement + IoU
+    #  + snake + distance transform + 10 device-extraction feature checks
+    return len(CASES) + 3 + 1 + len(AGREEMENT_CASES) + len(IOU_CASES) + 2 + 10
+
+
 def run_parity_cases(
     report: Optional[Callable[[str], None]] = None,
+    *,
+    time_budget_s: Optional[float] = None,
 ) -> Tuple[int, int]:
-    """Run every case on the current backend; returns (passed, total)."""
+    """Run every case on the current backend; returns (passed, total).
+
+    ``time_budget_s`` bounds the audit: when the budget runs out BETWEEN
+    cases the audit stops early and returns the partial tally (``total`` <
+    :func:`planned_total`), so a slow compile service yields a truncated
+    scoreboard instead of none at all.
+    """
 
     import jax.numpy as jnp
 
     from yamimageprocessor_tpu.ops.registry import get_impl
 
     emit = report or (lambda line: None)
+    deadline = None if time_budget_s is None else time.monotonic() + time_budget_s
+
+    def _tick() -> None:
+        if deadline is not None and time.monotonic() > deadline:
+            raise _OutOfTime
+
     gray, bgr = synthetic_scene()
     rng = np.random.default_rng(11)
 
+    failures: List[str] = []
+    progress = [0, 0]  # [passed, total] kept current for the timeout path
+    try:
+        return _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress)
+    except _OutOfTime:
+        emit(
+            f"TIMEOUT: audit truncated by time budget after "
+            f"{progress[1]}/{planned_total()} cases"
+        )
+        return progress[0], progress[1]
+
+
+def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
     passed = 0
     total = 0
-    failures: List[str] = []
+
     for identifier, params, tol in CASES:
+        _tick()
         impl = get_impl(identifier)
         image = gray
         if (
@@ -161,6 +202,7 @@ def run_parity_cases(
         total += 1
         ok = diff <= tol
         passed += ok
+        progress[:] = [passed, total]
         if not ok:
             failures.append(identifier)
         emit(f"{'OK ' if ok else 'FAIL'} {identifier:44s} maxdiff={diff} (tol {tol})")
@@ -169,17 +211,20 @@ def run_parity_cases(
     # correctly-rounded f32 255/remainder divide in the equalization LUT
     histeq = get_impl("preprocessing.histogram_equalization")
     for shape in ((7, 13), (1000, 1003), (129, 255)):
+        _tick()
         image = rng.integers(0, 256, shape, dtype=np.uint8)
         golden = histeq.golden_fn(image)
         device = np.asarray(histeq.device_fn(jnp.asarray(image), {}))
         diff = int(np.abs(device.astype(np.int64) - golden.astype(np.int64)).max())
         total += 1
         passed += diff == 0
+        progress[:] = [passed, total]
         emit(f"{'OK ' if diff == 0 else 'FAIL'} histeq odd shape {shape}: maxdiff={diff}")
 
     # the CLAHE pallas fast path needs tiles >= 256 wide (clahe_j gate) —
     # the shared 128x160 scene never reaches it, so audit it explicitly
     # (measured bit-exact vs the f64 golden on hardware)
+    _tick()
     clahe = get_impl("preprocessing.clahe")
     wide = rng.integers(0, 256, (256, 2048), dtype=np.uint8)
     golden = clahe.golden_fn(wide, clip_limit=2.0, grid_size=8)
@@ -194,18 +239,21 @@ def run_parity_cases(
     diff = int(np.abs(device.astype(np.int64) - golden.astype(np.int64)).max())
     total += 1
     passed += diff == 0
+    progress[:] = [passed, total]
     emit(f"{'OK ' if diff == 0 else 'FAIL'} clahe fast path 256x2048: maxdiff={diff}")
 
     def check(name: str, ok: bool, detail: str = "") -> None:
         nonlocal passed, total
         total += 1
         passed += bool(ok)
+        progress[:] = [passed, total]
         if not ok:
             failures.append(name)
         emit(f"{'OK ' if ok else 'FAIL'} {name:44s} {detail}")
 
     # ---- agreement-fraction cases (clustering family)
     for identifier, params, min_agree, which in AGREEMENT_CASES:
+        _tick()
         impl = get_impl(identifier)
         image = bgr[:32, :32] if which == "bgr32" else bgr
         golden = impl.golden_fn(image, **params)
@@ -217,6 +265,7 @@ def run_parity_cases(
 
     # ---- IoU cases
     for identifier, params, min_iou in IOU_CASES:
+        _tick()
         impl = get_impl(identifier)
         golden = impl.golden_fn(bgr, **params)
         static, dyn = impl.split_params(params, bgr.shape)
@@ -228,6 +277,7 @@ def run_parity_cases(
         check(identifier, iou >= min_iou, f"iou={iou:.3f} (min {min_iou})")
 
     # ---- snake: device overlay within 2 px of the golden contour
+    _tick()
     snake = get_impl("segmentation.active_contour")
     sp = dict(iterations=50, alpha=0.015, beta=10.0, gamma=0.001)
     golden = snake.golden_fn(bgr, **sp)
@@ -257,6 +307,7 @@ def run_parity_cases(
     )
 
     # ---- distance transform (inside the watershed chain; audited alone)
+    _tick()
     from yamimageprocessor_tpu.ops.distance import (
         distance_transform_j,
         distance_transform_np,
@@ -282,6 +333,7 @@ def run_parity_cases(
     labels_np = label_np(EX._binary(bgr) > 0)
     meas = RP.measure_np(labels_np)
 
+    _tick()
     labels_j, feats = XDev.region_features_j(bgr, max_regions=64)
     n = int(np.asarray(feats["count"]))
     check(
@@ -306,12 +358,14 @@ def run_parity_cases(
     )
     check("xfeat.region_properties", ok, "area/perimeter/centroid/ecc")
 
+    _tick()
     table = XDev.region_table_device(bgr)
     sol_ok = not table.get("saturated") and np.array_equal(
         table["solidity"], RP.solidity_np(labels_np, meas)
     )
     check("xfeat.solidity_hull", bool(sol_ok), "device hull bit-exact")
 
+    _tick()
     hu_d = np.asarray(jax.jit(XDev.hu_features_j)(bgr))
     hu_g = SHp.hu_moments(SHp.moments_np(EX._binary(bgr)))
     check(
@@ -320,6 +374,7 @@ def run_parity_cases(
         "7 invariants",
     )
 
+    _tick()
     har_d = np.asarray(jax.jit(XDev.haralick_features_j)(bgr))
     pg = EX._haralick_props(bgr, 1, 0.0)
     har_g = np.array([pg["contrast"], pg["correlation"], pg["energy"], pg["homogeneity"]])
@@ -331,6 +386,7 @@ def run_parity_cases(
 
     from yamimageprocessor_tpu.ops import color as Col
 
+    _tick()
     hist_d = np.asarray(jax.jit(XDev.histogram_features_j)(bgr))
     hs = TXt.histogram_stats_np(Col.bgr_to_gray_np(bgr))
     hist_g = np.array([hs["mean"], hs["variance"], hs["skewness"], hs["kurtosis"]])
@@ -340,10 +396,12 @@ def run_parity_cases(
         "mean/var/skew/kurt",
     )
 
+    _tick()
     fr_d = float(np.asarray(jax.jit(XDev.fractal_feature_j)(bgr)))
     fr_g = float(HG.fractal_dimension(EX._binary(bgr, maxval=1), 2))
     check("xfeat.fractal", abs(fr_d - fr_g) < 1e-3, f"{fr_d:.4f} vs {fr_g:.4f}")
 
+    _tick()
     hfe_d, _ = HG.hog_features_j(
         jnp.asarray(gray),
         orientations=9,
@@ -357,6 +415,7 @@ def run_parity_cases(
         "descriptor vector",
     )
 
+    _tick()
     contour = max(SHp.trace_external_contours(EX._binary(bgr)), key=SHp.contour_area)
     sel_d, recon_d = XDev.fourier_descriptors_device(contour, 10)
     coeffs, recon_g = SHp.fourier_reconstruct(contour, 10)
@@ -372,6 +431,7 @@ def run_parity_cases(
         "+-k coefficients + reconstruction",
     )
 
+    _tick()
     arc = SHp.arc_length(contour, closed=True)
     polys = [
         SHp.approx_poly_dp(contour, f * arc).reshape(-1, 2)
