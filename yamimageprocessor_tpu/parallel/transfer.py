@@ -37,7 +37,7 @@ def start_fetch(dev: Any, chunk_bytes: int = CHUNK_BYTES) -> FetchHandle:
     flat slices.  Returns a handle for :func:`finish_fetch`."""
 
     nbytes = int(getattr(dev, "nbytes", 0))
-    if nbytes <= chunk_bytes:
+    if isinstance(dev, np.ndarray) or nbytes <= chunk_bytes:
         _copy_async(dev)
         return FetchHandle([dev], dev.shape, dev.dtype)
     flat = dev.reshape(-1)

@@ -295,8 +295,12 @@ class CompiledChain:
         image: np.ndarray,
         steps: Optional[Sequence[PipelineStep]] = None,
     ) -> np.ndarray:
+        from yamimageprocessor_tpu.parallel.transfer import fetch
+
         outs = self.run(image, steps)
-        return np.asarray(outs[-1]) if outs else np.asarray(image)
+        # chunked D2H: monolithic fetches collapse to ~1/5 link rate above
+        # ~4 MiB on tunneled attachments (parallel/transfer.py)
+        return fetch(outs[-1]) if outs else np.asarray(image)
 
     def pure_callable(self):
         """(fn, dyn_list) for an all-device chain: ``fn(images, dyn_list)``
