@@ -442,11 +442,6 @@ def main() -> None:
 
     from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
 
-    # big Mosaic kernels (the 4096^2 watershed flood) carry multi-minute
-    # first compiles on slow compile services; the on-disk cache bounds
-    # that to once per machine, so the per-extra alarms below are safe
-    enable_persistent_cache()
-
     # A downed accelerator relay makes backend init HANG rather than raise,
     # so probe it in a subprocess (with retries — it wedges transiently)
     # before committing this process to it; fall back to CPU only when the
@@ -461,6 +456,15 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         backend = jax.default_backend()
     backend = "cpu" if backend == "cpu" else "tpu"
+
+    # persistent compile cache AFTER the backend decision: big Mosaic
+    # kernels (the 4096^2 watershed flood) carry multi-minute first
+    # compiles on slow compile services, and the cache bounds that to once
+    # per machine — but enabling it before a CPU fallback would let CPU
+    # AOT executables pollute the TPU-scoped cache (jaxcache.py's guard
+    # reads the platform config, which is only final here)
+    if backend != "cpu":
+        enable_persistent_cache()
 
     # headline FIRST: the scoreboard line must land even if an extra fails
     import signal as _signal

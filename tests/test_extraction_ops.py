@@ -237,3 +237,15 @@ def test_export_segmented_regions(bgr, tmp_path):
     assert len(exported) == 2
     crop = cv2.imread(str(exported[0]))
     assert crop.shape[0] >= 30 and crop.shape[1] >= 40
+
+
+def test_region_properties_empty_frame_matches_reference_shape():
+    """No regions -> a column-less empty DataFrame, exactly like the
+    reference's row-of-dicts construction (CSV export writes no header)."""
+
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    blank = np.zeros((48, 48, 3), np.uint8)
+    df = get_impl("extraction.region_properties").data_fn(blank)
+    assert len(df) == 0
+    assert list(df.columns) == []

@@ -231,3 +231,21 @@ def test_viewport_gigapixel_fit_uses_streamed_level():
     # every read was a row band, never the full frame in one call
     assert record.read_boxes, "fit view must come from region reads"
     assert all((b - t) <= 16 for (_, t, _, b) in record.read_boxes)
+
+
+def test_fit_letterboxes_non_panel_aspect():
+    """Fit mode preserves aspect ratio: a wide source in a square panel
+    letterboxes (zero bands above/below) instead of stretching (the
+    reference PreviewWidget's QGraphicsView fit does the same)."""
+
+    from yamimageprocessor_tpu.ui.imageview import ImageViewport
+    from yamimageprocessor_tpu.ui.preview import PreviewRecord
+
+    src = np.full((128, 256), 200, np.uint8)
+    vp = ImageViewport(PreviewRecord.build(src))
+    vp.fit()
+    frame = vp.view(64, 64)
+    assert frame.shape[:2] == (64, 64)
+    # z = min(64/256, 64/128) = 0.25 -> image occupies 32 rows, centered
+    assert (frame[16:48, :] == 200).all()
+    assert (frame[:16, :] == 0).all() and (frame[48:, :] == 0).all()

@@ -196,3 +196,23 @@ def test_update_notice_wiring(workspace):
         return True
 
     assert _host_window(settings, body)
+
+
+def test_dock_toggle_shortcuts_do_not_collide_with_focus(workspace):
+    """Alt+N focuses dock N (never toggles); Ctrl+N toggles visibility —
+    the advertised action shortcuts must actually route to the actions."""
+
+    _, settings = workspace
+
+    def body(window, session):
+        assert window.docks["steps"].visible
+        assert window.handle_shortcut("Ctrl+1")
+        assert not window.docks["steps"].visible  # toggle action fired
+        assert window.handle_shortcut("Alt+1")
+        assert window.focused == "steps"
+        assert window.docks["steps"].visible  # focus re-shows, not toggles
+        tip = window.action("toggle_steps").tooltip_text()
+        assert "Ctrl+1" in tip
+        return True
+
+    assert _host_window(settings, body)

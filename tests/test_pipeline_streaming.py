@@ -361,3 +361,80 @@ def test_clahe_stream_gate_rejects_degenerate_geometry():
     ]
     assert chain_streamable(steps, (96, 128, 3))
     assert not chain_streamable(steps, (10, 10))
+
+
+@pytest.mark.parametrize(
+    "shape,steps_kind",
+    [
+        ((96, 128), "uniform"),  # exact grid -> uniform batched path
+        ((90, 123), "stats"),  # ragged grid -> non-uniform stats path
+        ((64, 96), "dense"),  # frame-coupled chain -> dense branch
+        ((90, 123), "tileable"),  # ragged grid, stencil-only chain
+    ],
+)
+def test_device_sink_honored_on_every_device_path(shape, steps_kind):
+    """``device_sink`` is the device-resident result contract: EVERY path
+    that runs the chain on the accelerator must hand results over without
+    host fetches (r3 review: the non-uniform/dense/tileable paths silently
+    ignored the sink and starved its accumulator)."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    array = _frame(*shape)
+    record = _SyntheticStreamingRecord(array)
+    if steps_kind in ("uniform", "stats"):
+        steps = [
+            PipelineStep(
+                name="NoiseReduction",
+                stage=Stage.PREPROCESSING,
+                params={"method": "Gaussian", "ksize": 5},
+            ),
+            PipelineStep(
+                name="histogram_equalization",
+                op_id="preprocessing.histogram_equalization",
+                stage=Stage.PREPROCESSING,
+                params={},
+            ),
+        ]
+    elif steps_kind == "tileable":
+        steps = [
+            PipelineStep(
+                name="NoiseReduction",
+                stage=Stage.PREPROCESSING,
+                params={"method": "Gaussian", "ksize": 5},
+            )
+        ]
+    else:
+        record.allow_materialize = True  # dense branch needs the frame
+        steps = [
+            PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={}),
+            PipelineStep(
+                name="Watershed",
+                op_id="segmentation.watershed",
+                stage=Stage.SEGMENTATION,
+                params={},
+            ),
+        ]
+
+    host_tiles = []
+    out = None
+
+    def on_tile(box, tile):
+        host_tiles.append(box)
+
+    def sink(tile_boxes, dev_batch):
+        nonlocal out
+        assert isinstance(dev_batch, jnp.ndarray)  # no host fetch happened
+        batch = np.asarray(dev_batch)
+        if out is None:
+            out = np.zeros(array.shape[:2] + tuple(batch.shape[3:]), batch.dtype)
+        for box, tile in zip(tile_boxes, batch):
+            left, top, right, bottom = box
+            out[top:bottom, left:right, ...] = tile
+
+    stream_steps_tiled(steps, record, on_tile, tile_size=(32, 32), device_sink=sink)
+    assert host_tiles == []  # device paths must not double-emit
+    dense = PipelineManager(steps).apply(array)
+    assert out is not None and (out == np.asarray(dense)).all()

@@ -75,6 +75,10 @@ def region_properties_data(image: np.ndarray) -> pd.DataFrame:
     # host time — measured dominating the device path); building typed
     # columns directly produces the identical frame layout
     count = meas.count
+    if count == 0:
+        # match the reference's row-of-dicts construction: no regions
+        # yields a column-less empty frame (CSV export writes no header)
+        return pd.DataFrame([])
     sl = slice(1, count + 1)
     centroids = pd.Series(
         [

@@ -247,7 +247,11 @@ def fourier_dft_j(pts, n, ms, dup_w):
     zr = jnp.where(valid, pts[:, 0], 0.0)
     zi = jnp.where(valid, pts[:, 1], 0.0)
     nf = jnp.float32(n)
-    mj = (ms[:, None].astype(jnp.int32) * j[None, :]) % n  # exact int32
+    # (m*j) mod n in int32 without overflow for long contours: m*j reaches
+    # n*cap (~2^32+ past ~32k points), so reduce via the byte split
+    # m*j = (m*(j>>8))<<8 + m*(j&255), each term < 2^26 for cap <= 2^22
+    mhi = (ms[:, None].astype(jnp.int32) * (j // 256)[None, :]) % n
+    mj = (mhi * 256 + ms[:, None].astype(jnp.int32) * (j % 256)[None, :]) % n
     theta = (2.0 * np.pi) * mj.astype(jnp.float32) / nf
     c = jnp.cos(theta) * valid[None, :]
     s = jnp.sin(theta) * valid[None, :]

@@ -157,9 +157,14 @@ def watershed_j(image, markers):
     import jax.numpy as jnp
 
     if jax.default_backend() == "tpu":
-        # vmap-safe wrapper: batched frames flood sequentially (pallas
-        # calls have no batching rule; convergence is per-frame anyway)
-        return _flood_pallas_batchable()(image, markers)
+        from yamimageprocessor_tpu.ops.watershed_pallas import pallas_fits
+
+        if pallas_fits(markers.shape[-1]):
+            # vmap-safe wrapper: batched frames flood sequentially (pallas
+            # calls have no batching rule; convergence is per-frame anyway)
+            return _flood_pallas_batchable()(image, markers)
+        # frames too wide for even the minimal block/k geometry overflow
+        # the kernel's scoped VMEM — take the XLA flood below instead
 
     h, w = markers.shape
     img = image.astype(jnp.int16)

@@ -302,7 +302,10 @@ def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
     # at wp=4096 the former fixed (64, 8) geometry wanted 21.4M against
     # the 16M scoped limit.  Shrink block, then k, until the footprint
     # fits a 13M budget — same fixed point, just more grid steps.
-    r2_cap = max(24, (13 << 20) // (64 * wp))
+    # floor = the minimal viable geometry (block=8, k=2 -> 12); a higher
+    # floor would override the budget for wide frames and overflow scoped
+    # VMEM (callers gate on pallas_fits() before choosing this kernel)
+    r2_cap = max(12, (13 << 20) // (64 * wp))
     while block + 2 * k > r2_cap and block > 8:
         block = max(8, block // 2)
     while block + 2 * k > r2_cap and k > 2:
@@ -333,4 +336,13 @@ def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
     return lab[:h, :w]
 
 
-__all__ = ["flood_pallas"]
+def pallas_fits(width: int) -> bool:
+    """True when the minimal kernel geometry (block=8, k=2) fits the
+    scoped-VMEM budget at this frame width; wider frames must take the
+    XLA flood path."""
+
+    wp = -(-int(width) // 128) * 128
+    return (13 << 20) // (64 * wp) >= 12
+
+
+__all__ = ["flood_pallas", "pallas_fits"]

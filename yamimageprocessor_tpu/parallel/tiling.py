@@ -133,6 +133,12 @@ def stream_steps_tiled(
     ``mesh``: an optional ``jax.sharding.Mesh`` — uniform-grid batches
     then shard across its first axis (data-parallel tiles over ICI), the
     multi-chip form of the reference's tile loop (SURVEY §2.5).
+
+    ``device_sink(tile_boxes, dev_batch)``: device-resident result mode —
+    every path that runs on the accelerator hands results over WITHOUT any
+    D2H (uniform batches arrive whole; other paths arrive as batch-of-one
+    tiles); ``on_tile`` is then not called for those tiles.  A chain with
+    no enabled steps has no device results and always emits host tiles.
     """
 
     enabled = [s for s in steps if getattr(s, "enabled", True)]
@@ -170,6 +176,17 @@ def stream_steps_tiled(
             outs = get_compiled_chain(enabled, dense.shape, dense.dtype).run(
                 dense, enabled
             )
+            if device_sink is not None:
+                # device-resident results: re-emit tiles as device slices,
+                # never fetching the frame (sink owns the D2H decision)
+                import jax.numpy as jnp
+
+                dev = jnp.asarray(outs[-1])
+                out_h, out_w = dev.shape[0], dev.shape[1]
+                for box in iter_tile_boxes(out_w, out_h, tsize):
+                    left, top, right, bottom = box
+                    device_sink([box], dev[None, top:bottom, left:right, ...])
+                return
             result = TR.fetch(outs[-1])
         except Exception:
             result = dense.copy()
@@ -208,6 +225,23 @@ def stream_steps_tiled(
             enabled, regions.shape, regions.dtype, batch=len(batch)
         )
         dev = chain.run(jnp.asarray(regions), enabled)[-1]
+        if device_sink is not None:
+            # device-resident results: halo-crop each tile on device and
+            # hand it over; no D2H happens here
+            for idx, (box, ebox, _) in enumerate(batch):
+                left, top, right, bottom = box
+                eleft, etop, _, _ = ebox
+                y0, x0 = top - etop, left - eleft
+                device_sink(
+                    [box],
+                    dev[
+                        idx,
+                        y0 : y0 + (bottom - top),
+                        x0 : x0 + (right - left),
+                        ...,
+                    ][None, ...],
+                )
+            return
         inflight.append(([(b, e) for b, e, _ in batch], TR.start_fetch(dev)))
         drain(_INFLIGHT)
 
@@ -390,6 +424,10 @@ def _stream_with_stats(
         ebox = _expand_box(box, halo, width, height)
         region = jnp.asarray(np.asarray(image.read_region(ebox)))
         out = runner(region, resolved, jnp.asarray(ebox, jnp.int32))
+        if device_sink is not None:
+            # crop on device and hand over without any D2H
+            device_sink([box], crop_center(out, box, ebox)[None, ...])
+            continue
         inflight.append((box, ebox, TR.start_fetch(out)))
         drain(_INFLIGHT)
     drain(0)

@@ -151,7 +151,6 @@ def encode_sixel(img: np.ndarray) -> str:
     parts = ["\x1bPq", f'"1;1;{w};{h}']
     for i, (r, g, b) in enumerate(palette):
         parts.append(f"#{i};2;{r};{g};{b}")
-    used = np.unique(idx)
     for top in range(0, h, 6):
         band = idx[top : top + 6]
         rows = band.shape[0]
@@ -281,7 +280,20 @@ class ImageViewport:
             step *= 2
 
         window = self._fetch_window(left, top, left + sw, top + sh, step)
-        return _box_resize(window, vh, vw)
+        # aspect-preserving target + letterbox: the source window maps onto
+        # round(sh*z) x round(sw*z) display pixels; stretching it to the
+        # full panel would distort any non-panel-aspect image (the
+        # reference PreviewWidget's QGraphicsView fit letterboxes too)
+        th = min(vh, max(1, int(round(sh * z))))
+        tw = min(vw, max(1, int(round(sw * z))))
+        img = _box_resize(window, th, tw)
+        if (th, tw) == (vh, vw):
+            return img
+        canvas = np.zeros((vh, vw) + img.shape[2:], img.dtype)
+        y0 = (vh - th) // 2
+        x0 = (vw - tw) // 2
+        canvas[y0 : y0 + th, x0 : x0 + tw, ...] = img
+        return canvas
 
     def _fetch_window(
         self, left: int, top: int, right: int, bottom: int, step: int

@@ -174,6 +174,8 @@ class StageWindow:
                 "Recompute the stage preview",
             ),
         )
+        # Ctrl+N toggles visibility; Alt+N (handled by the focus-chain
+        # branch of handle_shortcut, never the action registry) focuses
         for index, dock in enumerate(("steps", "preview", "diagnostics"), start=1):
             self.add_action(
                 "View",
@@ -181,7 +183,7 @@ class StageWindow:
                     f"toggle_{dock}",
                     f"Toggle {dock} dock",
                     (lambda d=dock: self.toggle_dock(d)),
-                    f"Alt+{index}",
+                    f"Ctrl+{index}",
                     f"Show or hide the {dock} panel",
                     checkable=True,
                     checked=True,
