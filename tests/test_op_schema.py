@@ -118,3 +118,23 @@ def test_every_schema_op_has_a_registered_impl():
     for op in EXTRACTION_OPS:
         impl = get_impl(op.identifier)
         assert impl.data_fn is not None, f"{op.identifier} missing CSV twin"
+
+
+def test_builder_string_enabled_flags_respected():
+    """QSettings-style backends persist booleans as strings; 'false'/'0'
+    must disable the step (r3 review: bool('false') is True)."""
+
+    from yamimageprocessor_tpu.pipeline.builders import (
+        build_preprocessing_pipeline_from_dict,
+    )
+
+    snapshot = {
+        "preprocess/grayscale": "false",
+        "preprocess/gamma/enabled": "0",
+        "preprocess/brightness_contrast/enabled": "true",
+    }
+    pipeline = build_preprocessing_pipeline_from_dict(snapshot)
+    by_name = {s.name: s for s in pipeline.steps}
+    assert not by_name["Grayscale"].enabled
+    assert not by_name["Gamma"].enabled
+    assert by_name["BrightnessContrast"].enabled

@@ -166,3 +166,57 @@ def test_register_source_by_token():
     b = cache.register_source_by_token("file:/x.png:12345:99")
     c = cache.register_source_by_token("file:/x.png:12345:100")
     assert a == b != c
+
+
+def test_tiled_result_replays_from_disk_after_restart(tmp_path, rng):
+    """A persisted tiled result must replay from the disk cache in a fresh
+    process (r3 review: the tiled path consulted only the in-memory dict
+    and re-ran the whole tile stream after restart)."""
+
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.pipeline.cache import PipelineCache
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+    from yamimageprocessor_tpu.pipeline.tiled_records import TiledPipelineImage
+
+    array = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+
+    class _Record:
+        shape = array.shape
+        dtype = array.dtype
+
+        def __init__(self):
+            self.reads = 0
+
+        def infer_shape(self):
+            return array.shape
+
+        def read_region(self, box):
+            self.reads += 1
+            left, top, right, bottom = box
+            return np.array(array[top:bottom, left:right], copy=True)
+
+        def to_array(self):
+            raise AssertionError("must not materialize")
+
+    steps = [
+        PipelineStep(
+            name="Gamma Correction",
+            op_id="preprocessing.gamma",
+            stage=Stage.PREPROCESSING,
+            params={"value": 2.0},
+        )
+    ]
+
+    first = PipelineCache(cache_directory=tmp_path)
+    rec1 = _Record()
+    source = first.register_source(array)
+    res1 = first.compute(source, TiledPipelineImage(rec1, tile_size=(32, 32)), steps)
+    assert rec1.reads > 0
+
+    # fresh instance over the same cache dir = process restart
+    second = PipelineCache(cache_directory=tmp_path)
+    rec2 = _Record()
+    source2 = second.register_source(array)
+    res2 = second.compute(source2, TiledPipelineImage(rec2, tile_size=(32, 32)), steps)
+    assert rec2.reads == 0  # replayed from disk, no tile stream
+    assert (res1.image == res2.image).all()

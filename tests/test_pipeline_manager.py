@@ -228,3 +228,158 @@ def test_module_requires_gpu_propagates():
     assert step.execution.requires_gpu is True
     payload = step.to_dict()
     assert payload["execution"]["requires_gpu"] is True
+
+
+def test_set_order_preserves_duplicate_names(image):
+    """Duplicate step names are legal (reference order managers allow
+    repeats); reordering must keep every instance (r3 review: a name->step
+    dict silently dropped all but the last duplicate)."""
+
+    mgr = PipelineManager(
+        [
+            PipelineStep(name="add", function=_add, params={"amount": 1}),
+            PipelineStep(name="add", function=_add, params={"amount": 2}),
+            PipelineStep(name="mul", function=_mul, params={"factor": 2}),
+        ]
+    )
+    mgr.set_order(["mul", "add"])
+    names = [s.name for s in mgr.steps]
+    assert names == ["mul", "add", "add"]
+    # FIFO: the first listed 'add' is the first original instance
+    assert mgr.steps[1].params["amount"] == 1
+    assert mgr.steps[2].params["amount"] == 2
+
+
+def test_clone_preserves_isolate_failures(tmp_path, image):
+    def boom(img):
+        raise RuntimeError("kaboom")
+
+    from yamimageprocessor_tpu.pipeline.errors import PipelineExecutionError
+
+    mgr = PipelineManager(
+        [PipelineStep(name="boom", function=boom)],
+        recovery_root=tmp_path,
+        isolate_failures=True,
+    )
+    dup = mgr.clone()
+    with pytest.raises(PipelineExecutionError):
+        dup.apply_host(image)
+
+
+def test_step_op_id_round_trips_without_stage():
+    step = PipelineStep(name="Gamma", op_id="preprocessing.gamma")
+    restored = PipelineStep.from_dict(step.to_dict())
+    assert restored.op_id == "preprocessing.gamma"
+    out = restored.apply(np.full((8, 8), 128, np.uint8))
+    assert out.shape == (8, 8)
+
+
+def test_nd4_stack_batches_as_planes(rng):
+    """A (T, Z, H, W) non-colour stack must reach device ops as 2-D planes
+    — batching only axis 0 would hand (Z, H, W) items to ops that misread
+    ndim==3 as BGR (r3 review)."""
+
+    stack = rng.integers(0, 255, (2, 3, 16, 16), dtype=np.uint8)
+    mgr = PipelineManager(
+        [
+            PipelineStep(
+                name="Gamma Correction",
+                op_id="preprocessing.gamma",
+                stage=Stage.PREPROCESSING,
+                params={"value": 2.0},
+            ),
+            # per-plane global stats: catches both the device misbatching
+            # AND an apply_host that hands a (Z, H, W) item to the op
+            PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={}),
+        ]
+    )
+    out = mgr.apply(stack)
+    host = mgr.apply_host(stack)
+    assert out.shape == host.shape == stack.shape
+    assert (np.asarray(out) == np.asarray(host)).all()
+    # every plane equals its independently-processed self
+    solo = PipelineManager(
+        [
+            PipelineStep(
+                name="Gamma Correction",
+                op_id="preprocessing.gamma",
+                stage=Stage.PREPROCESSING,
+                params={"value": 2.0},
+            ),
+            PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={}),
+        ]
+    )
+    for t in range(2):
+        for z in range(3):
+            assert (np.asarray(solo.apply_host(stack[t, z])) == host[t, z]).all()
+
+
+def test_batched_chain_with_host_segment_applies_per_item(rng):
+    """batch mode + a host-only step: the host segment (and any deferred
+    device segment after it) must run per item, not on the stacked array
+    (r3 review: golden_fn read the batch axis as image height)."""
+
+    frames = rng.integers(0, 255, (3, 24, 24), dtype=np.uint8)
+
+    def host_rot(img):
+        # per-image host op whose output depends on the image layout: a
+        # batched misapplication (rot of the stacked array) cannot match
+        return np.rot90(img, 2).copy()
+
+    steps = [
+        PipelineStep(
+            name="Gamma Correction",
+            op_id="preprocessing.gamma",
+            stage=Stage.PREPROCESSING,
+            params={"value": 1.8},
+        ),
+        PipelineStep(name="host_rot", function=host_rot),
+        PipelineStep(
+            name="Opening",
+            op_id="segmentation.opening",
+            stage=Stage.SEGMENTATION,
+            params={"kernel_size": 3, "iterations": 1},
+        ),
+    ]
+    from yamimageprocessor_tpu.pipeline.compiler import CompiledChain
+
+    chain = CompiledChain(steps, frames.shape, frames.dtype, batch=3)
+    assert any(p.kind == "host" for p in chain.plans)
+    outs = chain.run(frames, steps)
+    final = np.asarray(outs[-1])
+    for i in range(3):
+        single = CompiledChain(steps, frames[i].shape, frames.dtype)
+        assert (np.asarray(single.run(frames[i], steps)[-1]) == final[i]).all()
+
+
+def test_reshaping_chain_derives_dyn_from_evolved_shape(rng, caplog):
+    """crop (reshapes) followed by a shape-aware op (FCM sizes its
+    membership init from the pixel count): dynamic params must come from
+    the EVOLVED shape, or the compiled chain silently retraces/falls back
+    on every call (r3 review: _dyn_for used the chain input shape)."""
+
+    import logging
+
+    frame = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+    steps = [
+        PipelineStep(
+            name="Crop",
+            op_id="preprocessing.crop",
+            stage=Stage.PREPROCESSING,
+            params={"x_offset": 4, "y_offset": 2, "width": 16, "height": 24},
+        ),
+        PipelineStep(
+            name="FuzzyCMeans",
+            op_id="segmentation.fuzzy_cmeans",
+            stage=Stage.SEGMENTATION,
+            params={"K": 2, "seed": 42},
+        ),
+    ]
+    mgr = PipelineManager(steps)
+    with caplog.at_level(logging.ERROR):
+        out = mgr.apply(frame)
+    assert "falling back" not in caplog.text
+    host = mgr.apply_host(frame)
+    assert np.asarray(out).shape == np.asarray(host).shape
+    agree = (np.asarray(out) == np.asarray(host)).mean()
+    assert agree > 0.99  # f32 vs f64 cluster boundaries only

@@ -139,7 +139,9 @@ def build_preprocessing_pipeline_from_dict(
     for op in PREPROCESS_OPS:
         if not op.persisted:
             continue
-        enabled = bool(settings_dict.get(op.settings_enabled_key, False))
+        enabled = settings_dict.get(op.settings_enabled_key, False)
+        # string flags BEFORE bool(): QSettings-style backends persist
+        # booleans as strings, and bool('false') is True
         if isinstance(enabled, str):
             enabled = enabled.lower() in {"1", "true"}
         pipeline.add_step(

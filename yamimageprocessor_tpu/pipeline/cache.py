@@ -463,9 +463,13 @@ class PipelineCache:
         try:
             from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
+            from yamimageprocessor_tpu.parallel.transfer import fetch
+
             chain = get_compiled_chain(steps, image.shape, image.dtype)
             outs = chain.run(image, steps)
-            return [np.asarray(o) for o in outs]
+            # chunked D2H per intermediate: monolithic fetches collapse to
+            # ~1/5 link rate above ~4 MiB (parallel/transfer.py)
+            return [fetch(o) for o in outs]
         except OperationCancelled:
             raise
         except Exception:
@@ -517,8 +521,18 @@ class PipelineCache:
                 )
             )
 
-        # cached final?
-        final_cached = cache.get(records[-1].signature) if records else None
+        # cached final?  (memory first, then the disk cache — a restarted
+        # process must replay a persisted tiled result instead of
+        # re-running the whole tile stream)
+        final_cached = None
+        if records:
+            with self._lock:
+                final_cached = cache.get(records[-1].signature)
+            if final_cached is None:
+                final_cached = self._load_disk_cache(source_id, records[-1].signature)
+                if final_cached is not None:
+                    with self._lock:
+                        cache[records[-1].signature] = final_cached
         if final_cached is not None:
             entry = (
                 final_cached
@@ -545,7 +559,6 @@ class PipelineCache:
             if progress is not None and shape[0]:
                 progress(min(99, int(100 * (tiles_out[-1][0][3]) / shape[0])))
 
-        enabled = [s for s in steps if s.enabled]
         stream_steps_tiled(list(steps), image, on_tile)
         self._check_cancel(cancel_event)
 

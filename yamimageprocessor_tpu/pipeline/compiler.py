@@ -76,6 +76,10 @@ class CompiledChain:
         self._segment_fns: Dict[int, Any] = {}
         self._segment_dyn: Dict[int, List[Dict[str, Any]]] = {}
         self._statics: Dict[int, Dict[str, Any]] = {}
+        #: seg_idx -> per-step INPUT item shapes (shape-aware dyn splits,
+        #: e.g. FCM membership inits, must see the same evolved shapes at
+        #: refresh time that the trace saw at build time)
+        self._segment_shapes: Dict[int, List[Tuple[int, ...]]] = {}
         #: seg_idx -> {segment-local start: run length} of composed LUT runs
         self.lut_runs: Dict[int, Dict[int, int]] = {}
 
@@ -90,10 +94,13 @@ class CompiledChain:
                 # deferred: built lazily on first run when shape is known
                 self._segment_fns[seg_idx] = None
                 continue
-            fn, dyns, statics, spec, runs = self._build_device_segment(plan, spec)
+            fn, dyns, statics, spec, runs, shapes = self._build_device_segment(
+                plan, spec
+            )
             self._segment_fns[seg_idx] = fn
             self._segment_dyn[seg_idx] = dyns
             self._statics[seg_idx] = statics
+            self._segment_shapes[seg_idx] = shapes
             self.lut_runs[seg_idx] = runs
 
     # ------------------------------------------------------------------
@@ -105,10 +112,12 @@ class CompiledChain:
         cur = spec
         dyn_per_step: List[Dict[str, Any]] = []
         static_per_step: List[Dict[str, Any]] = []
+        shapes_per_step: List[Tuple[int, ...]] = []
         lut_ok: List[bool] = []  # LUT-expressible at this chain position?
         item_shape = cur.shape[1:] if self.batch else cur.shape
 
         for step in steps:
+            shapes_per_step.append(tuple(item_shape))
             if not step.enabled or step.impl is None:
                 dyn_per_step.append({})
                 static_per_step.append({})
@@ -203,7 +212,7 @@ class CompiledChain:
             fn = jax.jit(inner)
         else:
             fn = jax.jit(single)
-        return fn, dyn_per_step, static_per_step, cur, lut_runs
+        return fn, dyn_per_step, static_per_step, cur, lut_runs, shapes_per_step
 
     # ------------------------------------------------------------------
     def refresh_params(self, steps: Sequence[PipelineStep]) -> None:
@@ -218,18 +227,19 @@ class CompiledChain:
         self._segment_dyn = self._dyn_for(self.steps)
 
     def _dyn_for(self, steps: Sequence[PipelineStep]) -> Dict[int, List[Dict[str, Any]]]:
-        spec_shape = self.shape[1:] if self.batch else self.shape
-        item_shape: Optional[Tuple[int, ...]] = spec_shape
         out: Dict[int, List[Dict[str, Any]]] = {}
         for seg_idx, plan in enumerate(self.plans):
             if plan.kind != "device" or self._segment_fns.get(seg_idx) is None:
-                item_shape = None
                 continue
+            # per-step item shapes as recorded by the build-time eval_shape
+            # walk: a reshaping step (crop) upstream means later shape-aware
+            # splits must see the EVOLVED shape, not the chain input shape
+            shapes = self._segment_shapes[seg_idx]
             dyns = []
-            for i in plan.indices:
+            for pos, i in enumerate(plan.indices):
                 step = steps[i]
                 if step.enabled and step.impl is not None:
-                    _, dyn = step.impl.split_params(step.params, item_shape)
+                    _, dyn = step.impl.split_params(step.params, shapes[pos])
                 else:
                     dyn = {}
                 dyns.append(dyn)
@@ -260,13 +270,23 @@ class CompiledChain:
             if plan.kind == "host":
                 cur = np.asarray(cur)
                 for i in plan.indices:
-                    cur = active_steps[i].apply(cur)
+                    if self.batch:
+                        # host kernels are per-image: apply item-wise, never
+                        # hand them the batched array (a golden_fn would
+                        # read the batch axis as height/channels)
+                        cur = np.stack(
+                            [active_steps[i].apply(item) for item in cur]
+                        )
+                    else:
+                        cur = active_steps[i].apply(cur)
                     outputs[i] = cur
                 continue
             fn = self._segment_fns.get(seg_idx)
             if fn is None:
                 # segment after a host op: run eagerly on device without a
                 # prebuilt jit (host shapes unknown at build time)
+                import jax
+
                 cur_j = jnp.asarray(cur)
                 item_shape = cur_j.shape[1:] if self.batch else cur_j.shape
                 for i in plan.indices:
@@ -274,7 +294,14 @@ class CompiledChain:
                     if step.enabled and step.impl is not None:
                         static, dyn = step.impl.split_params(step.params, item_shape)
                         dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
-                        cur_j = step.impl.device_fn(cur_j, dyn_j, **static)
+                        if self.batch:
+                            cur_j = jax.vmap(
+                                lambda im, _s=step, _st=static, _d=dyn_j: (
+                                    _s.impl.device_fn(im, _d, **_st)
+                                )
+                            )(cur_j)
+                        else:
+                            cur_j = step.impl.device_fn(cur_j, dyn_j, **static)
                         item_shape = cur_j.shape[1:] if self.batch else cur_j.shape
                     outputs[i] = cur_j
                 cur = cur_j
@@ -339,7 +366,9 @@ def chain_structure_key(
     batch: int = 0,
 ) -> Tuple:
     parts: List[Tuple] = []
-    item_shape = tuple(shape[1:]) if batch else tuple(shape)
+    item_shape: Optional[Tuple[int, ...]] = (
+        tuple(shape[1:]) if batch else tuple(shape)
+    )
     for step in steps:
         if not step.enabled:
             parts.append((step.name, False))
@@ -347,8 +376,14 @@ def chain_structure_key(
         if step.impl is not None:
             static, _ = step.impl.split_params(step.params, item_shape)
             parts.append((step.op_id, True, _static_key(static)))
+            if step.impl.reshapes:
+                # downstream of a reshaping op the item shape is no longer
+                # the chain input shape; None keeps shape-aware splits from
+                # deriving statics (and hence cache keys) from a wrong shape
+                item_shape = None
         else:
             parts.append((step.name, True, id(step.function), _static_key(step.params)))
+            item_shape = None  # arbitrary host callables may reshape
     return (tuple(shape), str(np.dtype(dtype)), int(batch), tuple(parts))
 
 

@@ -157,6 +157,7 @@ class PipelineManager:
             recovery_root=self._recovery_root,
             gpu_executor=self._gpu_executor,
             prefer_device=self._prefer_device,
+            isolate_failures=self._isolate_failures,
         )
         duplicate._steps = [s.clone() for s in self._steps]
         return duplicate
@@ -227,15 +228,22 @@ class PipelineManager:
         )
 
     def set_order(self, order: Iterable[str]) -> None:
-        remaining = {s.name: s for s in self._steps}
+        # FIFO per name: duplicate step names are legal (the reference's
+        # order managers allow repeats), so a name->step dict would
+        # silently drop all but one duplicate
+        remaining: Dict[str, List[PipelineStep]] = {}
+        for s in self._steps:
+            remaining.setdefault(s.name, []).append(s)
         reordered: List[PipelineStep] = []
         for name in order:
-            if name not in remaining:
+            bucket = remaining.get(name)
+            if not bucket:
                 raise KeyError(f"Unknown pipeline step '{name}'")
-            reordered.append(remaining.pop(name))
+            reordered.append(bucket.pop(0))
         for step in self._steps:
-            if step.name in remaining:
-                reordered.append(step)
+            bucket = remaining.get(step.name)
+            if bucket and bucket[0] is step:
+                reordered.append(bucket.pop(0))
         self._steps = reordered
         self._emit("steps_reordered", steps=tuple(self._steps))
 
@@ -305,6 +313,16 @@ class PipelineManager:
         a PipelineExecutionError is raised.
         """
 
+        if isinstance(image, np.ndarray) and self._requires_slice_processing(image):
+            # recurse to 2-D planes (or 3-D colour images): reference
+            # semantics run each plane through the whole chain
+            # (processing/pipeline_manager.py:467-492); handing a step a
+            # (Z, H, W) stack would misread the leading axis as channels
+            slices = [self.apply_host(image[i]) for i in range(image.shape[0])]
+            try:
+                return np.stack(slices, axis=0)
+            except ValueError:
+                return np.array(slices, dtype=object)
         result = image.copy() if isinstance(image, np.ndarray) else image
         for index, step in enumerate(self._steps):
             if not step.enabled:
@@ -382,10 +400,17 @@ class PipelineManager:
             try:
                 from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
+                # flatten EVERY leading axis so each vmapped item is one
+                # image plane: batching only axis 0 of a (T, Z, H, W) stack
+                # hands 3-D non-colour items to device ops, which would
+                # misread the Z axis as BGR channels
+                item_nd = 3 if array.shape[-1] in (3, 4) else 2
+                flat = array.reshape((-1,) + array.shape[-item_nd:])
                 chain = get_compiled_chain(
-                    enabled, array.shape, array.dtype, batch=leading
+                    enabled, flat.shape, flat.dtype, batch=flat.shape[0]
                 )
-                return chain.run_final(array, enabled)
+                out = chain.run_final(flat, enabled)
+                return out.reshape(array.shape[: array.ndim - item_nd] + out.shape[1:])
             except Exception:
                 LOGGER.exception("Batched chain failed; slice-wise host fallback")
         slices = [self.apply_host(array[i]) for i in range(leading)]

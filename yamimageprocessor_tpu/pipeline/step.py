@@ -141,6 +141,11 @@ class PipelineStep:
             payload["supports_tiled_input"] = True
         if self.stage is not None:
             payload["stage"] = self.stage.value
+        if self.op_id is not None:
+            # optional extra key (absent from reference payloads, which
+            # resolve by stage+name): without it a step built with an
+            # explicit op_id but no stage cannot re-resolve after round-trip
+            payload["op_id"] = self.op_id
         return payload
 
     @classmethod
@@ -161,6 +166,7 @@ class PipelineStep:
         return cls(
             name=data["name"],
             function=function,
+            op_id=data.get("op_id"),
             enabled=bool(data.get("enabled", True)),
             params=dict(data.get("params", {})),
             execution=StepExecutionMetadata.from_dict(data.get("execution", {})),
