@@ -74,3 +74,13 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _isolated_settings_dir(tmp_path_factory, monkeypatch):
+    """Default-config AppCore now persists settings/recovery under the
+    user state dir; tests must never touch the real one."""
+
+    monkeypatch.setenv(
+        "YAM_SETTINGS_DIR", str(tmp_path_factory.mktemp("yam-state"))
+    )

@@ -70,3 +70,23 @@ def test_redaction_and_root_index(sandbox):
     assert ps.root_index_for_path(inside) == 0
     assert ps.root_index_for_path("/nowhere/else") is None
     assert ps.redact_path_for_metadata("/nowhere/else/secret.png") == "secret.png"
+
+
+def test_symlinked_allowed_root_rejected(tmp_path):
+    """The symlink test must run on the UNRESOLVED root (r3 review: it ran
+    after resolve(), which dereferences the link, so it never fired)."""
+
+    import pytest as _pytest
+
+    from yamimageprocessor_tpu.core.path_sanitizer import (
+        PathValidationError,
+        configure_allowed_roots,
+    )
+
+    real = tmp_path / "real"
+    real.mkdir()
+    link = tmp_path / "link"
+    link.symlink_to(real)
+    with _pytest.raises(PathValidationError):
+        configure_allowed_roots([link])
+    configure_allowed_roots([real])  # restore a sane state for other tests

@@ -267,3 +267,40 @@ def test_sidecar_schema_and_redaction(tmp_path, rng):
     # sidecar metadata rides back on load
     record = io.load_image(target, lazy=False)
     assert record.metadata.get("k") == 1
+
+
+def test_backup_pruning_escapes_glob_metacharacters(tmp_path):
+    """'img[1].png' must prune only its own backups — an unescaped stem
+    treats [1] as a character class and deletes 'img1.png' backups."""
+
+    from yamimageprocessor_tpu.core.io_manager import IOManager
+    from yamimageprocessor_tpu.core.path_sanitizer import configure_allowed_roots
+    from yamimageprocessor_tpu.core.settings import SettingsManager
+
+    configure_allowed_roots([tmp_path])
+    io = IOManager(SettingsManager(storage_path=tmp_path / "s.json"), backup_retention=1)
+    img = np.full((8, 8), 7, np.uint8)
+    plain = tmp_path / "img1.png"
+    weird = tmp_path / "img[1].png"
+    for _ in range(2):
+        io.save_image(plain, img)
+        io.save_image(weird, img)
+    plain_backups = io.list_backups(plain)
+    weird_backups = io.list_backups(weird)
+    assert len(plain_backups) >= 1
+    assert all("img1.backup-" in p.name for p in plain_backups)
+    assert all("img[1].backup-" in p.name for p in weird_backups)
+
+
+def test_thread_controller_bounds_task_registry():
+    from yamimageprocessor_tpu.core.threading import ThreadController
+
+    controller = ThreadController(max_workers=2)
+    try:
+        tasks = [controller.submit(lambda: None, name=f"t{i}") for i in range(400)]
+        for t in tasks:
+            t.future.result(timeout=10)
+        controller.submit(lambda: None, name="last").future.result(timeout=10)
+        assert len(controller.tasks()) <= 257
+    finally:
+        controller.shutdown()

@@ -55,7 +55,9 @@ class AppConfiguration:
     plugin_directories: Tuple[Path, ...] = ()
     trust_store: Optional[Path] = None
     require_signatures: bool = False
-    autosave_interval_seconds: float = 120.0
+    #: None = leave the persisted ``autosave/interval_seconds`` setting
+    #: alone (default 120 s); a value seeds it at bootstrap
+    autosave_interval_seconds: Optional[float] = None
     backup_retention: int = 5
     allowed_roots: Tuple[Path, ...] = ()
     diagnostics: bool = False
@@ -108,13 +110,27 @@ class AppCore:
             log_dir = self._session_root / "logs"
             init_logging(log_dir, diagnostics=cfg.diagnostics)
 
+            from yamimageprocessor_tpu.core.settings import default_storage_path
+
+            # settings PERSIST by default (the reference's QSettings always
+            # does); in-memory only when the caller explicitly opts out via
+            # a falsy-but-set path is not supported — pass a tmp path
+            storage = cfg.settings_path or default_storage_path(
+                cfg.organization, cfg.application
+            )
+            Path(storage).parent.mkdir(parents=True, exist_ok=True)
             self.settings = SettingsManager(
                 cfg.organization,
                 cfg.application,
-                storage_path=cfg.settings_path,
+                storage_path=storage,
             )
             if cfg.diagnostics:
                 self.settings.set("diagnostics/enabled", True)
+            if cfg.autosave_interval_seconds is not None:
+                self.settings.set(
+                    "autosave/interval_seconds",
+                    float(cfg.autosave_interval_seconds),
+                )
 
             from yamimageprocessor_tpu.pipeline.cache import PipelineCache
 
@@ -125,7 +141,16 @@ class AppCore:
             self.io_manager = IOManager(
                 self.settings, backup_retention=cfg.backup_retention
             )
-            self.recovery = RecoveryManager(self._session_root / "recovery")
+            # recovery must survive the session: under an explicit
+            # session_root it lives there (caller owns persistence), but
+            # the default throwaway mkdtemp root would orphan every crash
+            # marker and autosave — those go to the stable state dir
+            # beside the settings file instead
+            if cfg.session_root is not None:
+                recovery_root = self._session_root / "recovery"
+            else:
+                recovery_root = Path(storage).parent / "recovery"
+            self.recovery = RecoveryManager(recovery_root)
             self._recovery_summary = self.recovery.inspect_startup()
             self.recovery.begin_session({"application": cfg.application})
             self.autosave = AutosaveManager(
@@ -326,6 +351,16 @@ class AppCore:
 
         payload = json.loads(Path(path).read_text(encoding="utf-8"))
         steps = [PipelineStep.from_dict(item) for item in payload.get("steps", [])]
+        # normalize to stage-contiguous order (stable within a stage):
+        # stage_ranges and the controller's range slicing assume the list
+        # is grouped PRE -> SEG -> ANALYSIS; a hand-edited file with
+        # interleaved stages would slice steps under the wrong stage
+        order = {
+            Stage.PREPROCESSING: 0,
+            Stage.SEGMENTATION: 1,
+            Stage.ANALYSIS: 2,
+        }
+        steps.sort(key=lambda s: order.get(s.stage, 3))
         self.get_pipeline_manager().replace_steps(steps, update_template=False)
 
     # ------------------------------------------------------------------
@@ -342,12 +377,37 @@ class AppCore:
 
     def _check_updates_blocking(self) -> Optional[UpdateMetadata]:
         metadata = fetch_update_metadata(self.configuration.update_endpoint)
-        if metadata is not None:
+        if metadata is not None and self._is_newer_version(metadata.version):
             self._handle_update_available(metadata)
-        return metadata
+            return metadata
+        return None
+
+    @staticmethod
+    def _is_newer_version(advertised: str) -> bool:
+        """True when the endpoint advertises something newer than the
+        installed ``__version__`` (a routine poll reporting the current or
+        an older version must not raise a notice, let alone pause work)."""
+
+        from yamimageprocessor_tpu import __version__
+
+        def parse(text: str):
+            parts = []
+            for token in str(text).strip().lstrip("vV").split("."):
+                digits = "".join(ch for ch in token if ch.isdigit())
+                parts.append(int(digits) if digits else 0)
+            return tuple(parts)
+
+        try:
+            return parse(advertised) > parse(__version__)
+        except Exception:
+            # unparseable scheme: fall back to inequality
+            return str(advertised).strip() != __version__
 
     def _handle_update_available(self, metadata: UpdateMetadata) -> None:
-        if self.thread_controller is not None:
+        # pause only when someone can acknowledge: a headless session with
+        # no update listener would otherwise block every future task on a
+        # resume that never comes
+        if self.thread_controller is not None and self.update_dispatcher.has_listeners():
             self.thread_controller.pause()
         from yamimageprocessor_tpu.core.updates import format_update_notice
 

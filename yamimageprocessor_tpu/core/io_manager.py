@@ -12,6 +12,7 @@ persisted metadata.
 from __future__ import annotations
 
 import datetime as _dt
+import glob
 import json
 import logging
 import os
@@ -171,7 +172,7 @@ class IOManager:
         except OSError:
             LOGGER.warning("Failed to create backup for %s", target, exc_info=True)
             return None
-        pattern = f"{target.stem}.backup-*{target.suffix}"
+        pattern = f"{glob.escape(target.stem)}.backup-*{glob.escape(target.suffix)}"
         backups = sorted(target.parent.glob(pattern))
         while len(backups) > retention:
             victim = backups.pop(0)
@@ -183,7 +184,11 @@ class IOManager:
 
     def list_backups(self, path: os.PathLike[str] | str):
         target = Path(path)
-        return sorted(target.parent.glob(f"{target.stem}.backup-*{target.suffix}"))
+        return sorted(
+            target.parent.glob(
+                f"{glob.escape(target.stem)}.backup-*{glob.escape(target.suffix)}"
+            )
+        )
 
 
 __all__ = ["IOManager", "SUPPORTED_EXPORTS", "METADATA_SCHEMA"]

@@ -122,6 +122,16 @@ class ModuleLoader:
 
         loaded: List[str] = []
         try:
+            pkg_spec = importlib.util.find_spec(package_name)
+        except Exception:
+            pkg_spec = None
+        if pkg_spec is None:
+            LOGGER.warning("Plugin package not importable: %s", package_name)
+            return loaded
+        pkg_origin = Path(pkg_spec.origin) if pkg_spec.origin else None
+        if not self._gate(pkg_origin):
+            return loaded
+        try:
             package = importlib.import_module(package_name)
         except ImportError:
             LOGGER.warning("Plugin package not importable: %s", package_name)
@@ -133,6 +143,20 @@ class ModuleLoader:
                 for info in pkgutil.iter_modules(package.__path__)
             ]
         for name in candidates:
+            # signature gate BEFORE import: importing executes the plugin's
+            # top-level code, so a tampered module must be rejected from
+            # its file path (find_spec resolves it without executing)
+            module_path: Optional[Path] = None
+            if name != package_name:
+                try:
+                    spec = importlib.util.find_spec(name)
+                except Exception:
+                    LOGGER.exception("Failed to locate plugin module %s", name)
+                    continue
+                if spec is not None and spec.origin:
+                    module_path = Path(spec.origin)
+                if not self._gate(module_path):
+                    continue
             try:
                 module = importlib.import_module(name)
             except Exception:
@@ -141,9 +165,11 @@ class ModuleLoader:
             register = getattr(module, "register_module", None)
             if register is None:
                 continue
-            module_path = Path(getattr(module, "__file__", "")) if module.__file__ else None
-            if not self._gate(module_path):
-                continue
+            if name == package_name:
+                origin = getattr(module, "__file__", None)
+                module_path = Path(origin) if origin else None
+                if not self._gate(module_path):
+                    continue
             try:
                 register(app_core)
                 loaded.append(name)

@@ -53,11 +53,14 @@ def configure_allowed_roots(roots: Iterable[Path | str]) -> None:
     for root in roots:
         if root is None:
             continue
-        candidate = _resolve(root)
-        if candidate.exists() and candidate.is_symlink():
+        # symlink test on the UNRESOLVED path: _resolve() dereferences
+        # links, so testing the resolved candidate can never fire
+        raw = Path(root).expanduser()
+        if raw.is_symlink():
             raise PathValidationError(
-                f"Allowed root may not be a symbolic link: {candidate}"
+                f"Allowed root may not be a symbolic link: {raw}"
             )
+        candidate = _resolve(root)
         candidate.mkdir(parents=True, exist_ok=True)
         resolved.append(candidate)
     if not resolved:

@@ -11,12 +11,15 @@ pipeline wire format: stage builders parse these keys directly.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import tempfile
 import threading
 from collections.abc import Mapping, MutableMapping
 from pathlib import Path
 from typing import Any, Dict, Iterable, Optional
+
+LOGGER = logging.getLogger(__name__)
 
 from yamimageprocessor_tpu.ops.schema import settings_defaults
 
@@ -337,6 +340,13 @@ class SettingsManager:
                 handle.write(payload)
             os.replace(tmp, self._path)
         except OSError:
+            # surface the loss: set()/sync() otherwise report success while
+            # the on-disk file silently stays stale
+            LOGGER.warning(
+                "Settings write failed; on-disk file is stale: %s",
+                self._path,
+                exc_info=True,
+            )
             try:
                 os.unlink(tmp)
             except OSError:

@@ -69,6 +69,13 @@ class ThreadTask:
     def set_progress(self, fraction: float) -> None:
         self.progress = max(0.0, min(1.0, float(fraction)))
 
+    def done(self) -> bool:
+        return self.status in (
+            TaskStatus.FINISHED,
+            TaskStatus.FAILED,
+            TaskStatus.CANCELLED,
+        )
+
     @staticmethod
     def current() -> Optional["ThreadTask"]:
         return getattr(_current_task, "task", None)
@@ -85,6 +92,7 @@ class ThreadController:
             max_workers=max_workers, thread_name_prefix="yam-task"
         )
         self._ids = itertools.count(1)
+        self._MAX_RETAINED = 256
         self._tasks: Dict[int, ThreadTask] = {}
         self._lock = threading.Lock()
         self._resume = threading.Event()
@@ -142,6 +150,16 @@ class ThreadController:
         task = ThreadTask(task_id=next(self._ids), name=name)
         with self._lock:
             self._tasks[task.task_id] = task
+            # bound the registry: finished tasks beyond a small history
+            # window are dropped, or a long session pins every task (and
+            # any images its error traceback references) forever
+            if len(self._tasks) > self._MAX_RETAINED:
+                for tid in [
+                    t
+                    for t, tk in self._tasks.items()
+                    if tk.done() and t != task.task_id
+                ][: len(self._tasks) - self._MAX_RETAINED]:
+                    del self._tasks[tid]
 
         import inspect
 

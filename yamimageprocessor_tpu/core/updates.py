@@ -87,6 +87,10 @@ class UpdateDispatcher:
         with self._lock:
             return self._pending
 
+    def has_listeners(self) -> bool:
+        with self._lock:
+            return bool(self._listeners)
+
     def dispatch(self, metadata: UpdateMetadata) -> None:
         with self._lock:
             self._pending = metadata
