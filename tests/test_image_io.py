@@ -190,3 +190,16 @@ def test_device_executor(rng):
     out = manager.apply(image)
     expected = step.impl.golden_fn(image, value=2.0)
     assert (out == expected).all()
+
+
+def test_tiff_colour_stack_round_trip(tmp_path, rng):
+    """(F, H, W, 3) colour stacks must save as F colour planes with the
+    BGR->RGB swap (r3 review: shape[-2:] flattened frame+height and wrote
+    (W, 3) grayscale garbage)."""
+
+    stack = rng.integers(0, 255, (3, 16, 20, 3), dtype=np.uint8)
+    target = tmp_path / "stack.tiff"
+    image_io.save_image(target, stack)
+    loaded = np.asarray(image_io.load_image(target).to_array())
+    assert loaded.shape == stack.shape
+    assert (loaded == stack).all()

@@ -248,3 +248,84 @@ def test_spatial_sharded_rejects_host_ops(mesh, rng):
             frame,
             mesh,
         )
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        ("Prewitt", {}),  # replicate borders (edges.py:227)
+        ("Adaptive", {"block_size": 11, "C": 2}),  # replicate mean
+        ("NoiseReduction", {"method": "Gaussian", "ksize": 5}),  # reflect-101
+    ],
+)
+def test_spatial_sharding_matches_dense_at_frame_borders(rng, name, params):
+    """TRUE frame edges must use each op's OWN border mode (r3 review: the
+    halo fill hardcoded reflect-101, so replicate-border ops diverged on
+    the first/last rows of the frame)."""
+
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.parallel.mesh import make_mesh, spatial_sharded_apply
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+
+    frame = rng.integers(0, 255, (64, 48), dtype=np.uint8)
+    step = PipelineStep(name=name, stage=(Stage.PREPROCESSING if name == "NoiseReduction" else Stage.SEGMENTATION), params=dict(params))
+    mesh = make_mesh()
+    sharded = spatial_sharded_apply([step], frame, mesh)
+    dense = step.apply(frame)
+    assert (np.asarray(sharded) == np.asarray(dense)).all()
+
+
+def test_spatial_sharding_rejects_oversized_halo(rng):
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.parallel.mesh import make_mesh, spatial_sharded_apply
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+
+    frame = rng.integers(0, 255, (64, 48), dtype=np.uint8)  # 8-row shards
+    step = PipelineStep(
+        name="NoiseReduction",
+        stage=Stage.PREPROCESSING,
+        params={"method": "Gaussian", "ksize": 31},  # halo 15 > 7
+    )
+    with pytest.raises(ValueError, match="halo"):
+        spatial_sharded_apply([step], frame, make_mesh())
+
+
+def test_tileable_stream_honours_mesh(mesh, rng):
+    """Plain filter chains (no global-stats op) must also shard uniform
+    batches over the mesh (r3 review: only the stats path honoured it)."""
+
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+
+    frame = rng.integers(0, 255, (128, 128), dtype=np.uint8)
+
+    class _Src:
+        shape = frame.shape
+        tile_size = (16, 16)
+
+        def infer_shape(self):
+            return frame.shape
+
+        def read_region(self, box):
+            left, top, right, bottom = box
+            return np.array(frame[top:bottom, left:right], copy=True)
+
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        )
+    ]
+    out = np.zeros_like(frame)
+
+    def on_tile(box, tile):
+        left, top, right, bottom = box
+        out[top:bottom, left:right] = tile
+
+    stream_steps_tiled(steps, _Src(), on_tile, device_sink=None, mesh=mesh)
+    from yamimageprocessor_tpu.pipeline.manager import PipelineManager
+
+    dense = PipelineManager(steps).apply(frame)
+    assert (out == np.asarray(dense)).all()

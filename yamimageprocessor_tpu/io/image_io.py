@@ -17,6 +17,7 @@ Wire convention: channel-last BGR uint8, matching the reference.
 """
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -167,6 +168,13 @@ def _load_numpy(path: Path, lazy, meta) -> AnyRecord:
                 for name in data.files
                 if name.startswith("coord_")
             }
+            if "metadata_json" in data.files:
+                try:
+                    embedded = json.loads(str(data["metadata_json"]))
+                    if isinstance(embedded, dict):
+                        meta = {**embedded, **meta}
+                except (json.JSONDecodeError, TypeError):
+                    pass
         if dims_attr is not None or coords or array.ndim > 3:
             dims = (
                 tuple(str(d) for d in dims_attr) if dims_attr is not None else ()
@@ -273,8 +281,21 @@ def _save_raster(path: Path, record: AnyRecord, quality: Optional[int]) -> None:
 def _save_tiff_stack(path: Path, array: np.ndarray) -> None:
     from PIL import Image
 
-    leading = array.reshape((-1,) + array.shape[-2:]) if array.ndim > 3 else array
-    frames = [Image.fromarray(np.asarray(plane)) for plane in leading]
+    # colour stacks keep their (H, W, C) planes: flattening with
+    # shape[-2:] would fold frame+height together and write (W, C)
+    # "grayscale" garbage; each colour plane also needs the same BGR->RGB
+    # swap the single-frame raster path applies
+    colour = array.ndim >= 4 and array.shape[-1] in (3, 4)
+    plane_nd = 3 if colour else 2
+    leading = (
+        array.reshape((-1,) + array.shape[-plane_nd:])
+        if array.ndim > plane_nd
+        else array[None, ...] if array.ndim == plane_nd else array
+    )
+    frames = [
+        Image.fromarray(rgb_to_bgr(np.asarray(plane)) if colour else np.asarray(plane))
+        for plane in leading
+    ]
     frames[0].save(path, save_all=True, append_images=frames[1:])
 
 
@@ -288,6 +309,16 @@ def _save_numpy(path: Path, record: AnyRecord) -> None:
         payload["dims"] = np.array(record.dims)
         for name, coord in record.coordinates.items():
             payload[f"coord_{name}"] = np.asarray(coord)
+    metadata = getattr(record, "metadata", None)
+    if metadata:
+        # embed (JSON, not pickled) so io_manager-less saves keep the
+        # stage/pipeline metadata the batch driver attaches
+        try:
+            payload["metadata_json"] = np.array(
+                json.dumps(metadata, default=str)
+            )
+        except (TypeError, ValueError):
+            pass
     np.savez(path, **payload)
 
 

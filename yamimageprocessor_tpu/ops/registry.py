@@ -48,6 +48,11 @@ class OpImpl:
     split: Callable[[Mapping[str, Any]], SplitResult] = field(default=_default_split)
     #: stencil radius given params (for halo exchange); int or fn(params)->int
     halo: Any = 0
+    #: pad mode the op's own borders use (numpy names: "reflect" =
+    #: cv2 BORDER_REFLECT_101, "edge" = replicate, "symmetric" = reflect).
+    #: The mesh halo exchange fills TRUE frame edges with this mode so
+    #: sharded borders match the dense path bit-for-bit.
+    border_mode: str = "reflect"
     #: False → op runs on host via golden_fn (reference slow-path ops)
     jittable: bool = True
     #: op output shape differs from input (crop) — breaks tile streaming

@@ -141,6 +141,7 @@ register_op(
     device_fn=adaptive_j,
     split=_adaptive_split,
     halo=lambda p: int(p.get("block_size", 11)) // 2,
+    border_mode="edge",  # the local-mean filter pads replicate (cv2 semantics)
 )
 
 

@@ -104,26 +104,38 @@ def spatial_sharded_apply(
             )
         static, dyn = impl.split_params(step.params, image.shape)
         halo = 0 if impl.global_stats else impl.halo_for(step.params)
+        if halo > h // n - 1 and impl.sharded_device_fn is None:
+            # block[:halo] / the mirror slices silently yield fewer rows
+            # than halo past this bound — reject loudly instead
+            raise ValueError(
+                f"step '{step.name}' needs a {halo}-row halo but shards are "
+                f"only {h // n} rows tall; use fewer devices or a larger frame"
+            )
         plans.append((impl, static, dyn, halo))
 
     down_perm, up_perm = _neighbor_perms(n)
 
-    def exchange_halo(block, halo: int):
-        """Fetch ``halo`` rows from both mesh neighbors (zeros at frame
-        edges; edge shards then extend with their own border rows so the
-        op's border mode applies at the true image border)."""
+    def exchange_halo(block, halo: int, mode: str):
+        """Fetch ``halo`` rows from both mesh neighbors; TRUE frame edges
+        are filled with the op's own border mode (``OpImpl.border_mode``)
+        so sharded borders match the dense path bit-for-bit."""
 
         idx = jax.lax.axis_index(axis)
         top_rows = block[:halo]
         bottom_rows = block[-halo:]
         from_above = jax.lax.ppermute(bottom_rows, axis, down_perm)
         from_below = jax.lax.ppermute(top_rows, axis, up_perm)
-        # first shard: mirror its own leading rows (reflect-101) so symmetric
-        # stencils reproduce the dense border result
-        mirror_top = block[1 : halo + 1][::-1]
-        mirror_bottom = block[-halo - 1 : -1][::-1]
-        from_above = jnp.where(idx == 0, mirror_top, from_above)
-        from_below = jnp.where(idx == n - 1, mirror_bottom, from_below)
+        if mode == "edge":  # replicate
+            fill_top = jnp.repeat(block[:1], halo, axis=0)
+            fill_bottom = jnp.repeat(block[-1:], halo, axis=0)
+        elif mode == "symmetric":  # reflect incl. the edge row
+            fill_top = block[:halo][::-1]
+            fill_bottom = block[-halo:][::-1]
+        else:  # "reflect" = cv2 BORDER_REFLECT_101
+            fill_top = block[1 : halo + 1][::-1]
+            fill_bottom = block[-halo - 1 : -1][::-1]
+        from_above = jnp.where(idx == 0, fill_top, from_above)
+        from_below = jnp.where(idx == n - 1, fill_bottom, from_below)
         return jnp.concatenate([from_above, block, from_below], axis=0)
 
     def block_fn(block):
@@ -135,7 +147,7 @@ def spatial_sharded_apply(
                 # true frame edges (op-correct border fills / psum'd stats)
                 cur = impl.sharded_device_fn(cur, dyn_j, axis=axis, **static)
             elif halo > 0:
-                padded = exchange_halo(cur, halo)
+                padded = exchange_halo(cur, halo, impl.border_mode)
                 out = impl.device_fn(padded, dyn_j, **static)
                 cur = out[halo:-halo]
             else:

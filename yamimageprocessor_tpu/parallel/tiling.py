@@ -23,9 +23,13 @@ from __future__ import annotations
 
 from typing import Any, Callable, Iterator, List, Optional, Sequence, Tuple
 
+import logging
+
 import numpy as np
 
 from yamimageprocessor_tpu.parallel import transfer as TR
+
+LOGGER = logging.getLogger(__name__)
 
 TileBox = Tuple[int, int, int, int]  # (left, top, right, bottom)
 
@@ -172,23 +176,29 @@ def stream_steps_tiled(
         )
         from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
 
+        outs = None
         try:
             outs = get_compiled_chain(enabled, dense.shape, dense.dtype).run(
                 dense, enabled
             )
-            if device_sink is not None:
-                # device-resident results: re-emit tiles as device slices,
-                # never fetching the frame (sink owns the D2H decision)
-                import jax.numpy as jnp
-
-                dev = jnp.asarray(outs[-1])
-                out_h, out_w = dev.shape[0], dev.shape[1]
-                for box in iter_tile_boxes(out_w, out_h, tsize):
-                    left, top, right, bottom = box
-                    device_sink([box], dev[None, top:bottom, left:right, ...])
-                return
-            result = TR.fetch(outs[-1])
         except Exception:
+            LOGGER.exception("Dense compiled chain failed; host fallback")
+        if outs is not None and device_sink is not None:
+            # device-resident results: re-emit tiles as device slices,
+            # never fetching the frame (sink owns the D2H decision).
+            # OUTSIDE the try block: a sink error must propagate, not
+            # trigger a host recompute that double-emits via on_tile
+            import jax.numpy as jnp
+
+            dev = jnp.asarray(outs[-1])
+            out_h, out_w = dev.shape[0], dev.shape[1]
+            for box in iter_tile_boxes(out_w, out_h, tsize):
+                left, top, right, bottom = box
+                device_sink([box], dev[None, top:bottom, left:right, ...])
+            return
+        if outs is not None:
+            result = TR.fetch(outs[-1])
+        else:
             result = dense.copy()
             for step in enabled:
                 result = step.apply(result)
@@ -224,7 +234,18 @@ def stream_steps_tiled(
         chain = get_compiled_chain(
             enabled, regions.shape, regions.dtype, batch=len(batch)
         )
-        dev = chain.run(jnp.asarray(regions), enabled)[-1]
+        operand = jnp.asarray(regions)
+        if mesh is not None and regions.shape[0] % mesh.devices.size == 0:
+            # data-parallel tiles over the mesh, same as the uniform-grid
+            # path (the docstring's contract; previously only that path
+            # honoured ``mesh``)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            operand = jax.device_put(
+                regions, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            )
+        dev = chain.run(operand, enabled)[-1]
         if device_sink is not None:
             # device-resident results: halo-crop each tile on device and
             # hand it over; no D2H happens here
@@ -437,8 +458,29 @@ def _stream_with_stats(
 _DEVICE_CACHE_BYTES = 2 << 30
 
 # jitted executables per (chain plan, geometry): a fresh jax.jit wrapper
-# per stream call would re-lower and re-request compilation every run
-_UNIFORM_JIT_CACHE: dict = {}
+# per stream call would re-lower and re-request compilation every run.
+# Bounded LRU: plan keys embed dynamic-parameter bytes, so an interactive
+# slider over a streamed image mints a new key per value — superseded
+# executables must be evictable, not pinned forever.
+class _LruJitCache(dict):
+    CAP = 64
+
+    def __setitem__(self, key, value):  # noqa: D105
+        if key in self:
+            del self[key]
+        super().__setitem__(key, value)
+        while len(self) > self.CAP:
+            del self[next(iter(self))]
+
+    def get(self, key, default=None):  # refresh recency on hit
+        if key in self:
+            value = super().pop(key)
+            super().__setitem__(key, value)
+            return value
+        return default
+
+
+_UNIFORM_JIT_CACHE: dict = _LruJitCache()
 
 
 def _plan_key(plans, frame_shape, tw, th):

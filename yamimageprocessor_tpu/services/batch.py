@@ -97,32 +97,47 @@ def process_folder(
         else:
             from yamimageprocessor_tpu.io import image_io
 
-            image_io.save_image(target, image)
+            image_io.save_image(target, image, metadata=metadata)
         outputs.append(target)
         done += 1
         if progress is not None:
             progress(int(done * 100 / total))
 
-    # group by (shape, dtype) for fused batching
-    groups: Dict[Tuple, List[Tuple[int, Path, np.ndarray]]] = defaultdict(list)
+    # group by header-probed (shape, dtype): loading the whole folder up
+    # front would make peak RSS proportional to the folder size; pixels
+    # are read lazily, at most one batch chunk at a time
+    groups: Dict[Tuple, List[Tuple[int, Path]]] = defaultdict(list)
     for index, path in enumerate(files):
         check_cancel()
         try:
-            array = _load_dense(path)
+            key = _probe_shape(path)
         except Exception:
-            LOGGER.exception("Failed to load %s", path)
+            LOGGER.exception("Failed to probe %s", path)
             continue
-        groups[(array.shape, str(array.dtype))].append((index, path, array))
+        groups[key].append((index, path))
 
     enabled = [s for s in steps if s.enabled]
     batchable = bool(enabled) and all(s.is_device_capable() for s in enabled)
 
+    def run_single(index: int, path: Path, array: np.ndarray) -> None:
+        save_one(path, index, np.asarray(manager.apply(array)))
+
     for (shape, dtype), items in groups.items():
         check_cancel()
-        if batchable and len(items) > 1:
-            for offset in range(0, len(items), batch_size):
-                chunk = items[offset : offset + batch_size]
-                check_cancel()
+        for offset in range(0, len(items), batch_size):
+            check_cancel()
+            loaded: List[Tuple[int, Path, np.ndarray]] = []
+            for index, path in items[offset : offset + batch_size]:
+                try:
+                    loaded.append((index, path, _load_dense(path)))
+                except Exception:
+                    LOGGER.exception("Failed to load %s", path)
+            # header probes can mispredict (palette promotion etc.):
+            # frames whose true shape diverges run per-frame
+            matching = [e for e in loaded if e[2].shape == tuple(shape)]
+            stragglers = [e for e in loaded if e[2].shape != tuple(shape)]
+            if batchable and len(matching) > 1:
+                chunk = matching
                 stack = np.stack([arr for _, _, arr in chunk])
                 try:
                     if mesh is not None:
@@ -147,11 +162,37 @@ def process_folder(
                     )
                 for (index, path, _), out in zip(chunk, result):
                     save_one(path, index, np.asarray(out))
-        else:
-            for index, path, array in items:
+            else:
+                for index, path, array in matching:
+                    check_cancel()
+                    run_single(index, path, array)
+            for index, path, array in stragglers:
                 check_cancel()
-                save_one(path, index, np.asarray(manager.apply(array)))
+                run_single(index, path, array)
     return outputs
+
+
+def _probe_shape(path: Path) -> Tuple[Tuple[int, ...], str]:
+    """(shape, dtype) of the array :func:`_load_dense` would produce, read
+    from file headers only (no pixel decode)."""
+
+    suffix = path.suffix.lower()
+    if suffix == ".npy":
+        with open(path, "rb") as handle:
+            version = np.lib.format.read_magic(handle)
+            shape, _, dtype = np.lib.format._read_array_header(handle, version)
+        return tuple(shape), str(dtype)
+    from PIL import Image
+
+    with Image.open(path) as img:
+        width, height = img.size
+        mode = img.mode
+    if mode in ("L", "I;16", "1"):
+        return (height, width), "uint8" if mode != "I;16" else "uint16"
+    if mode in ("RGBA", "CMYK"):
+        return (height, width, 4), "uint8"
+    # palette / RGB / YCbCr all decode to 3 channels
+    return (height, width, 3), "uint8"
 
 
 def export_all_extraction_data(

@@ -43,6 +43,10 @@ class DiagnosticsHub:
     # logging bridge (QtLogHandler equivalent)
     def attach_logger(self, logger: Optional[logging.Logger] = None) -> None:
         logger = logger or logging.getLogger()
+        if self._handler is not None:
+            # re-attach = move, never stack: a second handler on the same
+            # (or another) logger would duplicate every line
+            self.detach_logger()
         hub = self
 
         class _HubHandler(logging.Handler):
@@ -92,6 +96,10 @@ class DiagnosticsHub:
             self._controller.remove_listener(self._on_task_event)
             self._controller = None
 
+    #: finished rows beyond this cap are evicted oldest-first (the log
+    #: deque is bounded; the task table must be too)
+    MAX_TASK_ROWS = 500
+
     def _on_task_event(self, event: str, task: ThreadTask) -> None:
         with self._lock:
             self._tasks[task.task_id] = TaskRow(
@@ -100,6 +108,13 @@ class DiagnosticsHub:
                 status=task.status.value,
                 progress=task.progress,
             )
+            if len(self._tasks) > self.MAX_TASK_ROWS:
+                terminal = ("finished", "failed", "cancelled")
+                for key in sorted(self._tasks):
+                    if len(self._tasks) <= self.MAX_TASK_ROWS:
+                        break
+                    if self._tasks[key].status in terminal:
+                        del self._tasks[key]
 
     def task_rows(self) -> List[TaskRow]:
         with self._lock:

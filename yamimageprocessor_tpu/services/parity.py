@@ -341,7 +341,10 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
         bool((np.asarray(labels_j) == labels_np).all()) and n == meas.count,
         f"regions={n}",
     )
-    ok = (
+    # count guard FIRST: a miscount is exactly the regression this audit
+    # exists to catch, and unsliced golden arrays would otherwise raise a
+    # non-broadcastable ValueError that kills the whole audit
+    ok = n == meas.count and (
         np.allclose(np.asarray(feats["area"])[: n + 1], meas.area[: n + 1])
         and np.allclose(
             np.asarray(feats["perimeter"])[: n + 1], meas.perimeter, rtol=1e-4
