@@ -249,3 +249,19 @@ def test_fit_letterboxes_non_panel_aspect():
     # z = min(64/256, 64/128) = 0.25 -> image occupies 32 rows, centered
     assert (frame[16:48, :] == 200).all()
     assert (frame[:16, :] == 0).all() and (frame[48:, :] == 0).all()
+
+
+def test_uint16_viewport_normalizes_high_range():
+    """uint16 microscopy data must not clip to white in the box-mean path
+    (r3 review: clip(0,255)+uint8 cast before normalization)."""
+
+    from yamimageprocessor_tpu.ui.imageview import ImageViewport, _to_rgb
+    from yamimageprocessor_tpu.ui.preview import PreviewRecord
+
+    grad = (np.linspace(0, 40000, 128 * 128).reshape(128, 128)).astype(np.uint16)
+    vp = ImageViewport(PreviewRecord.build(grad))
+    vp.fit()
+    frame = vp.view(64, 64)  # 128->64: exact box-mean shrink path
+    rgb = _to_rgb(frame) if frame.dtype != np.uint8 else frame
+    # a gradient must render as a gradient, not solid white
+    assert int(rgb.max()) > 200 and int(rgb.min()) < 50

@@ -298,3 +298,89 @@ def test_mass_export_data(core, controller, tmp_path, rng):
     written = pane.mass_export_data(src, tmp_path / "exp_out")
     assert set(written) == {"s0.png", "s1.png"}
     assert (tmp_path / "exp_out" / "s0_histogram.csv").exists()
+
+
+def test_preview_before_load_returns_none(pane):
+    assert pane.update_preview() is None  # r3 review: raised AttributeError
+
+
+def test_lazy_raster_load_builds_preview(core, controller, tmp_path, rng):
+    """PIL-raster-backed lazy records expose only .size until first read;
+    the preview pyramid must still build (r3 review: TypeError on None
+    shape killed the gigapixel raster path)."""
+
+    from yamimageprocessor_tpu.io import image_io
+
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    path = tmp_path / "big.png"
+    image_io.save_image(path, img)
+    pane = PreprocessingPane(core, controller)
+    pane.load_image(path, lazy=True)
+    assert pane._lazy_record is not None
+    assert pane.preview_record is not None
+    level = pane.preview_record.levels[-1]
+    thumb = np.asarray(level.image)
+    assert thumb.ndim == 3 and thumb.shape[2] == 3
+
+
+def test_stale_preview_cannot_overwrite_newer(pane, tmp_path, rng):
+    """An older in-flight preview is cancelled/ignored once a newer one
+    starts (r3 review: no generation guard in finished/cancelled)."""
+
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    from yamimageprocessor_tpu.io import image_io
+
+    image_io.save_image(tmp_path / "img.png", img)
+    pane.load_image(tmp_path / "img.png")
+    t1 = pane.update_preview(params_override={"BrightnessContrast": {"beta": 10.0}})
+    t2 = pane.update_preview(params_override={"BrightnessContrast": {"beta": 90.0}})
+    for t in (t1, t2):
+        if t is not None:
+            try:
+                t.future.result(timeout=30)
+            except Exception:
+                pass
+    final = pane.current_preview.copy()
+    t3 = pane.update_preview(params_override={"BrightnessContrast": {"beta": 90.0}})
+    if t3 is not None:
+        t3.future.result(timeout=30)
+    assert np.array_equal(pane.current_preview, final)
+
+
+def test_commit_signs_override_previews(pane, tmp_path, rng):
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    from yamimageprocessor_tpu.io import image_io
+
+    image_io.save_image(tmp_path / "img.png", img)
+    pane.load_image(tmp_path / "img.png")
+    t = pane.update_preview()
+    t and t.future.result(timeout=30)
+    pane.commit_current()
+    t = pane.update_preview(params_override={"BrightnessContrast": {"beta": 77.0}})
+    t and t.future.result(timeout=30)
+    pane.commit_current()
+    committed = pane.committed.copy()
+    assert pane.undo()
+    assert pane.redo()
+    # redo must restore the OVERRIDDEN pixels the user committed
+    assert np.array_equal(pane.committed, committed)
+
+
+def test_ordered_pane_preview_keeps_controller_edits(core, controller, tmp_path, rng):
+    """'run' on a segmentation pane must not wipe controller-only edits by
+    rebuilding from settings (r3 review: the inline editor was
+    non-functional on ordered panes)."""
+
+    core.settings.set("segmentation/order", "Global")
+    pane = SegmentationPane(core, controller)
+    pane.rebuild_from_settings()
+    controller.update_stage_step(Stage.SEGMENTATION, 0, params={"threshold": 77})
+    seen = {}
+    pane.on_preview = lambda img: seen.__setitem__("img", np.asarray(img))
+    upstream = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    controller._set_stage_result(Stage.PREPROCESSING, upstream)
+    pane.update_preview()
+    step = controller.stage_steps(Stage.SEGMENTATION)[0]
+    assert step.params["threshold"] == 77  # edit survived
+    expected = (upstream > 77).astype(np.uint8) * 255
+    assert np.array_equal(seen["img"], expected)

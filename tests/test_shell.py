@@ -343,3 +343,21 @@ def test_shell_view_gigapixel_memmap_no_materialize(workspace):
         return True
 
     assert _host(settings, [Stage.PREPROCESSING], body)
+
+
+def test_tab_switch_clamps_step_cursor(workspace):
+    """Switching to a shorter stage must clamp the step cursor (r3 review:
+    Space/'e' after Tab raised IndexError and killed the curses loop)."""
+
+    _, settings = workspace
+
+    def body(controller):
+        controller.focus_tab(0)
+        for _ in range(5):
+            controller.select_step(1)
+        controller.next_tab()  # segmentation: 1 step
+        controller.toggle_selected_step()  # must not raise
+        controller.begin_edit()
+        return True
+
+    assert _host(settings, (Stage.PREPROCESSING, Stage.SEGMENTATION), body)

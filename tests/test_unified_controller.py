@@ -160,3 +160,47 @@ def test_manager_upstream_mutation_invalidates_all(controller):
     controller.manager.toggle_step("pre-a")
     for stage in (Stage.PREPROCESSING, Stage.SEGMENTATION, Stage.ANALYSIS):
         assert controller.cached_stage_result(stage) is None
+
+
+def test_reorder_events_invalidate_stage_caches(rng):
+    """set_order/swap_steps emit step-less events; stage caches must still
+    invalidate (r3 review: stale results survived direct reorders)."""
+
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+    from yamimageprocessor_tpu.ui.controller import UnifiedPipelineController
+
+    controller = UnifiedPipelineController()
+    controller.replace_stage_steps(
+        Stage.PREPROCESSING,
+        [
+            PipelineStep(name="Gamma", stage=Stage.PREPROCESSING, params={"value": 2.0}),
+            PipelineStep(name="Grayscale", stage=Stage.PREPROCESSING),
+        ],
+    )
+    src = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    controller.run_enabled_stages(src)
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is not None
+    controller.manager.set_order(["Grayscale", "Gamma"])
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is None
+    controller.run_enabled_stages(src)
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is not None
+    controller.manager.swap_steps(0, 1)
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is None
+
+
+def test_skipped_stage_clears_previous_result(rng):
+    from yamimageprocessor_tpu.ops.schema import Stage
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+    from yamimageprocessor_tpu.ui.controller import UnifiedPipelineController
+
+    controller = UnifiedPipelineController()
+    controller.replace_stage_steps(
+        Stage.PREPROCESSING,
+        [PipelineStep(name="Gamma", stage=Stage.PREPROCESSING, params={"value": 2.0})],
+    )
+    src = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    controller.run_enabled_stages(src)
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is not None
+    controller.run_enabled_stages(None)  # no source: stages are skipped
+    assert controller.cached_stage_result(Stage.PREPROCESSING) is None

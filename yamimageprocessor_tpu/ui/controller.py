@@ -181,6 +181,9 @@ class UnifiedPipelineController:
                     break
             if stage_input is None:
                 results[stage] = None
+                # clear any previous run's image: consumers must not read
+                # a stale cache as if it were this run's result
+                self._set_stage_result(stage, None)
                 continue
             stage_manager = PipelineManager(self.stage_steps(stage))
             result = stage_manager.apply(np.asarray(stage_input))
@@ -223,7 +226,15 @@ class UnifiedPipelineController:
         stage = getattr(step, "stage", None)
         if isinstance(stage, Stage):
             self._invalidate_stage_results(stage)
-        elif event in {"steps_replaced", "pipeline_restored", "pipeline_reset"}:
+        elif event in {
+            "steps_replaced",
+            "pipeline_restored",
+            "pipeline_reset",
+            # step-less reorder events (set_order/swap_steps) change every
+            # stage's effective pipeline — stale caches must not survive
+            "steps_reordered",
+            "steps_swapped",
+        }:
             self._invalidate_stage_results(Stage.PREPROCESSING)
 
 

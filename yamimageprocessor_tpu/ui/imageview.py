@@ -73,7 +73,13 @@ def _box_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         sh, sw = h // out_h, w // out_w
         view = img[: out_h * sh, : out_w * sw].astype(np.float32)
         view = view.reshape((out_h, sh, out_w, sw) + img.shape[2:])
-        return np.clip(np.rint(view.mean(axis=(1, 3))), 0, 255).astype(np.uint8)
+        pooled = view.mean(axis=(1, 3))
+        if img.dtype == np.uint8:
+            return np.clip(np.rint(pooled), 0, 255).astype(np.uint8)
+        # non-uint8 sources (uint16/float microscopy) keep their range;
+        # _to_rgb normalizes at render time — clipping to 0..255 here
+        # rendered every high-range image solid white
+        return pooled.astype(np.float32)
     ys = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
     return img[ys][:, xs]
@@ -337,7 +343,9 @@ class ImageViewport:
             ).mean(axis=(0, 2))
             rows.append(pooled)
         out = np.stack(rows)
-        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        if np.dtype(getattr(self.record, "dtype", np.uint8) or np.uint8) == np.uint8:
+            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        return out.astype(np.float32)  # _to_rgb normalizes high-range data
 
 
 __all__ = [

@@ -112,8 +112,12 @@ class PreprocessingPane(_BasePane):
         self._redo: List[str] = []
         self._progressive = _ProgressivePreviewState(None)
         self.preview_record: Optional[PreviewRecord] = None
+        self._lazy_record = None  # set by load_image for gigapixel sources
         self._active_task = None
         self._preview_scheduler: Optional[CoalescingPreviewScheduler] = None
+        #: steps the in-flight/last preview was computed with (commit must
+        #: sign the pixels it actually commits, incl. params_override runs)
+        self._preview_steps: Optional[List[PipelineStep]] = None
 
     # ------------------------------------------------------------------
     # loading (``ui/preprocessing.py:2263-2319``)
@@ -174,9 +178,14 @@ class PreprocessingPane(_BasePane):
         cached = cache.cached_image(self.source_id, final_sig)
         if cached is not None:  # cache-hit short circuit (:2365-2379)
             self.current_preview = cached
+            self._preview_steps = steps
             self._emit_preview(cached)
             return None
 
+        # a still-running older preview must not race the new one: cancel
+        # it BEFORE bumping the generation so its late callbacks are stale
+        if self._active_task is not None:
+            self._active_task.cancel()
         generation = self._progressive.begin()
 
         def on_incremental(update: PipelineCacheTileUpdate) -> None:
@@ -204,17 +213,27 @@ class PreprocessingPane(_BasePane):
                 operand,
                 steps,
                 cancel_event=cancel_event,
-                progress=progress_callback,
+                # the cache emits integer percents; the controller's
+                # injected callback expects a 0..1 fraction (it clamps, so
+                # raw percents pinned the progress bar at 100 immediately)
+                progress=(
+                    (lambda pct: progress_callback(pct / 100.0))
+                    if progress_callback is not None
+                    else None
+                ),
                 incremental=on_incremental,
             )
 
         def finished(result) -> None:
-            if result is None:
-                return
+            if result is None or generation != self._progressive.generation:
+                return  # a newer preview superseded this task
             self.current_preview = result.image
+            self._preview_steps = steps
             self._emit_preview(result.image)
 
         def cancelled() -> None:
+            if generation != self._progressive.generation:
+                return  # late cancel of an old task: leave the new preview
             baseline = self._progressive.cancel()
             self._emit_preview(baseline)
 
@@ -286,8 +305,14 @@ class PreprocessingPane(_BasePane):
     def commit_current(self) -> None:
         if self.current_preview is None or self.source_id is None:
             return
+        # sign the pixels actually being committed: a params_override
+        # preview was computed with MODIFIED steps, and signing it with the
+        # unmodified list would make undo/redo restore different pixels
+        sign_steps = (
+            self._preview_steps if self._preview_steps is not None else self._steps()
+        )
         final_sig, _ = self.app_core.pipeline_cache.predict(
-            self.source_id, self._steps()
+            self.source_id, sign_steps
         )
         if self.committed_signature is not None:
             self._undo.append(self.committed_signature)
@@ -433,6 +458,19 @@ class _OrderedStagePane(_BasePane):
                 np.asarray(image)
             )
         )
+
+    def update_preview(self, *, params_override=None):
+        """Run the stage's CURRENT controller steps on the upstream image
+        and emit the result.  Non-destructive: shells route their 'run'
+        action here, and rebuilding from settings instead would wipe any
+        controller-only edits (inline parameter editor, Space toggles)."""
+
+        image = self.resolve_upstream_image()
+        if image is None:
+            return None
+        result = self.apply_to(image)
+        self._emit_preview(result)
+        return None
 
 
 class SegmentationPane(_OrderedStagePane):

@@ -63,12 +63,35 @@ class PreviewLevel:
         return self._image is not None
 
 
+def _record_shape(record) -> tuple:
+    """Shape of a lazy/tiled record WITHOUT materializing it.
+
+    PIL-raster-backed ``TiledImageRecord``\\ s expose only ``size`` until
+    the first read (``shape`` stays None); an 8x8 corner probe supplies
+    the channel count."""
+
+    fn = getattr(record, "infer_shape", None)
+    if fn is not None:
+        shape = fn()
+        if shape is not None:
+            return tuple(shape)
+    shape = getattr(record, "shape", None)
+    if shape is not None:
+        return tuple(shape)
+    size = getattr(record, "size", None)
+    if size is not None:
+        w, h = int(size[0]), int(size[1])
+        probe = np.asarray(record.read_region((0, 0, min(8, w), min(8, h))))
+        return (h, w) + tuple(probe.shape[2:])
+    raise ValueError("record exposes neither shape nor size")
+
+
 def _downsample_streaming(record, scale: int, out_shape) -> np.ndarray:
     """Scale-``s`` box downsample via row-band region reads only — the
     lazy-record pyramid path (ref ``yam_processor/ui/dialogs.py:63-91``
     builds levels from the tiled record without materializing)."""
 
-    shape = record.infer_shape() if hasattr(record, "infer_shape") else record.shape
+    shape = _record_shape(record)
     h, w = int(shape[0]), int(shape[1])
     channels = shape[2] if len(shape) > 2 else None
     oh, ow = out_shape[0], out_shape[1]
@@ -115,9 +138,7 @@ class PreviewRecord:
         ``to_array`` (the gigapixel case — a 16k² memmap source costs one
         thumbnail, not a frame)."""
 
-        shape = (
-            record.infer_shape() if hasattr(record, "infer_shape") else record.shape
-        )
+        shape = _record_shape(record)
         h, w = int(shape[0]), int(shape[1])
         extra = tuple(shape[2:])
         levels = [

@@ -116,6 +116,10 @@ class ShellController:
     def focus_tab(self, index: int) -> None:
         if 0 <= index < len(self.tabs):
             self.active = index
+            # clamp the step cursor to the new stage's list (stages have
+            # different lengths; a stale index would crash toggle/edit)
+            steps = self._stage_step_list()
+            self.selected_step = max(0, min(self.selected_step, len(steps) - 1))
             self.set_status(f"Focused {self.active_pane.pane_title()} pane")
 
     def next_tab(self) -> None:
@@ -172,6 +176,7 @@ class ShellController:
         steps = self._stage_step_list()
         if not steps:
             return
+        self.selected_step = min(self.selected_step, len(steps) - 1)
         step = steps[self.selected_step]
         new_state = not getattr(step, "enabled", True)
         self.session.controller.update_stage_step(
@@ -187,6 +192,7 @@ class ShellController:
         steps = self._stage_step_list()
         if not steps:
             return
+        self.selected_step = min(self.selected_step, len(steps) - 1)
         step = steps[self.selected_step]
         specs = get_module_control_metadata(step.name)
         if not specs:
