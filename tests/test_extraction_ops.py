@@ -249,3 +249,47 @@ def test_region_properties_empty_frame_matches_reference_shape():
     df = get_impl("extraction.region_properties").data_fn(blank)
     assert len(df) == 0
     assert list(df.columns) == []
+
+
+def test_orientation_matches_skimage_convention():
+    """skimage regionprops convention (the reference's oracle): a vertical
+    bar reports 0, a horizontal bar pi/2, the main diagonal -pi/4 (r3
+    review: a/c were swapped and mu11 un-negated, rotating every angle)."""
+
+    from yamimageprocessor_tpu.ops import regionprops as RP
+    from yamimageprocessor_tpu.ops.labeling import label_np
+
+    mask = np.zeros((64, 64), np.int32)
+    mask[5:35, 10:13] = 1  # vertical bar
+    mask[40:43, 5:45] = 2  # horizontal bar
+    for t in range(20):
+        mask[50 + t // 2, 30 + t // 2] = 3  # main diagonal (thick-ish)
+    labels = label_np(mask > 0)
+    meas = RP.measure_np(labels)
+    ori = meas.orientation()
+    # map raster-first labels back to our shapes via centroids
+    by_shape = {}
+    for region in range(1, meas.count + 1):
+        r, c = meas.centroid_r[region], meas.centroid_c[region]
+        if c < 20 and r < 40:
+            by_shape["vertical"] = ori[region]
+        elif r > 48:
+            by_shape["diagonal"] = ori[region]
+        else:
+            by_shape["horizontal"] = ori[region]
+    assert abs(by_shape["vertical"]) < 1e-6
+    assert abs(abs(by_shape["horizontal"]) - np.pi / 2) < 1e-6
+    assert abs(by_shape["diagonal"] + np.pi / 4) < 0.05
+
+
+def test_contour_trace_visits_thin_shape_completely():
+    """Boundaries that pass through the start pixel more than once must be
+    fully traced (r3 review: the walk stopped at first start revisit and
+    skipped whole branches)."""
+
+    from yamimageprocessor_tpu.ops.shape import trace_external_contours
+
+    mask = np.zeros((3, 3), np.uint8)
+    mask[0, 1] = mask[1, 0] = mask[1, 2] = 1
+    pts = set(map(tuple, trace_external_contours(mask)[0]))
+    assert {(1, 0), (0, 1), (2, 1)} <= pts  # (x, y) of all three pixels

@@ -206,3 +206,32 @@ def test_edge_canny(bgr):
         high_threshold=150,
         aperture_size=3,
     )
+
+
+def test_label_j_converges_on_high_turn_spiral(rng):
+    """A fixed 256-round cap silently fragmented high-turn components
+    (r3 review); the bound is now the true convergence limit."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.labeling import label_j, label_np
+
+    side = 129
+    mask = np.zeros((side, side), bool)
+    # square spiral, pitch 2: one connected component with ~side turns
+    top, left, bottom, right = 0, 0, side - 1, side - 1
+    while left <= right and top <= bottom:
+        mask[top, left : right + 1] = True
+        mask[top : bottom + 1, right] = True
+        if top != bottom:
+            mask[bottom, left : right + 1] = True
+        if left != right and bottom - 1 >= top + 2:
+            mask[top + 2 : bottom + 1, left] = True
+        top += 2
+        left += 2
+        bottom -= 2
+        right -= 2
+    golden = label_np(mask)
+    device = np.asarray(label_j(jnp.asarray(mask)))
+    assert (device == golden).all()
+    assert device.max() == golden.max()

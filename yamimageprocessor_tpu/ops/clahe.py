@@ -133,7 +133,29 @@ def _clip_and_lut_j(hist, clip_limit: float, area: int):
     )
 
 
-_FAST_CACHE: dict = {}
+class _LruCache(dict):
+    """Bounded wrapper cache: the key embeds the CONTINUOUS clip_limit, so
+    an interactive slider would otherwise grow this without limit (each
+    entry pins O(H+W) interpolation weights plus a jit trace)."""
+
+    CAP = 32
+
+    def __setitem__(self, key, value):  # noqa: D105
+        if key in self:
+            del self[key]
+        super().__setitem__(key, value)
+        while len(self) > self.CAP:
+            del self[next(iter(self))]
+
+    def get(self, key, default=None):
+        if key in self:
+            value = super().pop(key)
+            super().__setitem__(key, value)
+            return value
+        return default
+
+
+_FAST_CACHE: dict = _LruCache()
 
 
 def _clahe_fast(clip_limit: float, grid: Tuple[int, int], shape):

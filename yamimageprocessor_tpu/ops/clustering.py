@@ -248,7 +248,8 @@ def gmm_j(data, init_means, iters: int = 50, reg: float = 1e-2):
 
 
 __all__ = [
-    "kmeans_init_centers",
+    "kmeans_init_uniform",
+    "scale_inits_np",
     "kmeans_np",
     "kmeans_j",
     "fcm_init_u",

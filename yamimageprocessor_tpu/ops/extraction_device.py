@@ -52,10 +52,11 @@ def region_features_j(img, max_regions: int = MAX_REGIONS):
     a = feats["mu20"] / safe
     b = feats["mu11"] / safe
     c = feats["mu02"] / safe
+    # skimage inertia-tensor convention (see RegionMeasurements.orientation)
     feats["orientation"] = jnp.where(
         a - c == 0,
-        jnp.where(b < 0, -np.pi / 4.0, np.pi / 4.0),
-        0.5 * jnp.arctan2(-2.0 * b, c - a),
+        jnp.where(b > 0, -np.pi / 4.0, np.pi / 4.0),
+        0.5 * jnp.arctan2(2.0 * b, a - c),
     )
     common = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4.0 * b * b, 0.0))
     l1 = (a + c + common) / 2.0

@@ -85,7 +85,7 @@ def _segmented_min_both(values, run_id, axis: int, sentinel):
     return out
 
 
-def label_j(fg, max_iters: int = 256):
+def label_j(fg, max_iters: int = 0):
     """Device twin of :func:`label_np`; ``fg`` is a bool (H, W) array.
 
     Each round does a 1-pixel 8-neighbor min (covers diagonal links) then
@@ -99,6 +99,13 @@ def label_j(fg, max_iters: int = 256):
 
     h, w = fg.shape
     n = h * w
+    if max_iters <= 0:
+        # the min-propagation is monotone, so n rounds is a TRUE
+        # convergence bound (a fixed 256 silently fragmented high-turn
+        # spiral/maze components).  The while_loop exits at convergence —
+        # realistic masks take only a few rounds; the bound is never the
+        # stopping reason, only a safety net.
+        max_iters = n
     sentinel = jnp.int32(n)
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab0 = jnp.where(fg, idx, sentinel)

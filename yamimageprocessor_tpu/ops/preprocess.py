@@ -713,8 +713,72 @@ def crop_j(
     height: int = 100,
     apply_crop: bool = True,
 ):
-    # static geometry: the result shape is resolved at trace time
+    # static geometry: the result shape is resolved at trace time.
+    # apply_crop=False is the PREVIEW mode (CropModule's default,
+    # modules/preprocessing.py): the full frame comes back with the
+    # region outlined, exactly like the golden twin — destructively
+    # cropping in a preview chain desynchronizes downstream geometry
+    if not apply_crop:
+        return _crop_overlay_j(img, x_offset, y_offset, width, height)
     return img[y_offset : y_offset + height, x_offset : x_offset + width]
+
+
+def _crop_overlay_j(img, x_offset: int, y_offset: int, width: int, height: int):
+    """Device twin of ``utils.annotate.crop_overlay`` (translucent green
+    fill, alpha 0.3, plus a thickness-2 border) — bit-exact vs the host:
+    same inclusive corners, clamping, rint blend and uint8 cast."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = img.shape[:2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    x0, y0 = int(x_offset), int(y_offset)
+    x1, y1 = x0 + int(width), y0 + int(height)
+
+    if img.ndim == 2:
+        color = jnp.float32((0 + 255 + 0) // 3)
+    else:
+        color = jnp.asarray(
+            np.array([0, 255, 0][: img.shape[2]], np.float32)
+        )
+
+    # translucent fill (inclusive corners, clamped)
+    xa, xb = sorted((x0, x1))
+    ya, yb = sorted((y0, y1))
+    xa, ya = max(xa, 0), max(ya, 0)
+    xb, yb = min(xb, w - 1), min(yb, h - 1)
+    blended = jnp.clip(
+        jnp.rint(color * np.float32(0.3) + img.astype(jnp.float32) * np.float32(0.7)),
+        0,
+        255,
+    ).astype(jnp.uint8)
+    out = img.astype(jnp.uint8)
+    if xa <= xb and ya <= yb:
+        fill = (rows >= ya) & (rows <= yb) & (cols >= xa) & (cols <= xb)
+        out = jnp.where(fill if img.ndim == 2 else fill[..., None], blended, out)
+
+    # border, thickness 2 (offsets {-1, 0}), cv2 clamped-segment semantics
+    border = jnp.zeros((h, w), bool)
+    for off in (-1, 0):
+        bxa, bya, bxb, byb = x0 - off, y0 - off, x1 + off, y1 + off
+        cxa, cxb = max(min(bxa, bxb), 0), min(max(bxa, bxb), w - 1)
+        cya, cyb = max(min(bya, byb), 0), min(max(bya, byb), h - 1)
+        if cxa > cxb or cya > cyb:
+            continue
+        in_x = (cols >= cxa) & (cols <= cxb)
+        in_y = (rows >= cya) & (rows <= cyb)
+        if 0 <= bya < h:
+            border = border | (in_x & (rows == bya))
+        if 0 <= byb < h:
+            border = border | (in_x & (rows == byb))
+        if 0 <= bxa < w:
+            border = border | (in_y & (cols == bxa))
+        if 0 <= bxb < w:
+            border = border | (in_y & (cols == bxb))
+    solid = color.astype(jnp.uint8)
+    return jnp.where(border if img.ndim == 2 else border[..., None], solid, out)
 
 
 def _crop_split(params: Mapping[str, Any]):

@@ -52,12 +52,17 @@ class RegionMeasurements:
         a = self.mu20 / np.maximum(self.area, 1)
         b = self.mu11 / np.maximum(self.area, 1)
         c = self.mu02 / np.maximum(self.area, 1)
-        # skimage: angle of the major inertia axis vs the row axis
+        # skimage convention: orientation = 0.5*atan2(-2*T01, T11 - T00)
+        # of the inertia tensor T = [[mu02, -mu11], [-mu11, mu20]]/m00
+        # (T00 is the COLUMN variance: the sum-minus-corner diagonal in
+        # skimage.measure.inertia_tensor).  With our a=mu20 (row var) that
+        # reduces to 0.5*atan2(2b, a-c); a vertical bar reports 0, a
+        # horizontal bar pi/2, the main diagonal -pi/4.
         with np.errstate(invalid="ignore"):
             out = np.where(
                 a - c == 0,
-                np.where(b < 0, -np.pi / 4.0, np.pi / 4.0),
-                0.5 * np.arctan2(-2.0 * b, c - a),
+                np.where(b > 0, -np.pi / 4.0, np.pi / 4.0),
+                0.5 * np.arctan2(2.0 * b, a - c),
             )
         return out
 

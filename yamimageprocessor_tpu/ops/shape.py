@@ -118,31 +118,63 @@ def trace_external_contours(binary: np.ndarray) -> List[np.ndarray]:
     n = int(labels.max())
     h, w = fg.shape
     padded = np.pad(labels, 1)
+
+    # per-region bounding boxes in ONE pass: a `labels == region` scan per
+    # region is O(n_regions * H * W) and dominated host extraction on
+    # dense frames
+    all_ys, all_xs = np.nonzero(fg)
+    region_at = labels[all_ys, all_xs]
+    min_y = np.full(n + 1, h, np.int64)
+    max_y = np.full(n + 1, -1, np.int64)
+    min_x = np.full(n + 1, w, np.int64)
+    max_x = np.full(n + 1, -1, np.int64)
+    np.minimum.at(min_y, region_at, all_ys)
+    np.maximum.at(max_y, region_at, all_ys)
+    np.minimum.at(min_x, region_at, all_xs)
+    np.maximum.at(max_x, region_at, all_xs)
+
     contours: List[np.ndarray] = []
     for region in range(1, n + 1):
-        ys, xs = np.nonzero(labels == region)
-        start = (ys[0], xs[0])  # raster-first pixel
-        points: List[Tuple[int, int]] = []
-        cur = start
-        # previous direction: coming from the left (we entered in raster scan)
-        prev_dir = 6  # pointing left
-        while True:
-            points.append((cur[1], cur[0]))  # (x, y)
-            found = False
-            # search clockwise starting just after the backtrack direction
+        y0, y1 = int(min_y[region]), int(max_y[region])
+        x0, x1 = int(min_x[region]), int(max_x[region])
+        crop = labels[y0 : y1 + 1, x0 : x1 + 1]
+        cys, cxs = np.nonzero(crop == region)
+        start = (cys[0] + y0, cxs[0] + x0)  # raster-first pixel
+
+        def next_move(cur, prev_dir):
+            # clockwise search starting just after the backtrack direction
             for k in range(8):
                 d = (prev_dir + 1 + k) % 8
                 dy, dx = _MOORE[d]
                 ny, nx = cur[0] + dy, cur[1] + dx
                 if padded[ny + 1, nx + 1] == region:
-                    prev_dir = (d + 4) % 8  # backtrack direction
-                    cur = (ny, nx)
-                    found = True
+                    return (ny, nx), (d + 4) % 8
+            return None, prev_dir
+
+        points: List[Tuple[int, int]] = [(start[1], start[0])]  # (x, y)
+        first_move, nb = next_move(start, 6)  # entered from the left
+        if first_move is None:  # isolated pixel
+            contours.append(np.array(points, dtype=np.int64))
+            continue
+        cur, prev_dir = first_move, nb
+        # Jacob's stopping criterion: terminate on re-entering START with
+        # the SAME next move as the first visit.  Stopping merely on
+        # `cur == start` truncates boundaries that legitimately pass
+        # through the start pixel more than once (thin shapes).
+        max_steps = 8 * (len(cys) + 1)  # safety bound, never the stopper
+        for _ in range(max_steps):
+            if cur == start:
+                nxt, nb = next_move(cur, prev_dir)
+                if nxt is None or nxt == first_move:
                     break
-            if not found:  # isolated pixel
+                points.append((cur[1], cur[0]))
+                cur, prev_dir = nxt, nb
+                continue
+            points.append((cur[1], cur[0]))
+            nxt, nb = next_move(cur, prev_dir)
+            if nxt is None:
                 break
-            if cur == start and len(points) > 1:
-                break
+            cur, prev_dir = nxt, nb
         contours.append(np.array(points, dtype=np.int64))
     return contours
 
