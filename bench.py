@@ -282,16 +282,23 @@ def _extra_extraction() -> None:
     bgr = np.repeat(frame[..., None], 3, axis=-1)
     impl = get_impl("extraction.region_properties")
     df = impl.data_fn(bgr)  # warm any device path
-    reps = 6  # single-frame time is relay-latency noise-dominated; average
-    start = time.perf_counter()
-    for _ in range(reps):
-        df = impl.data_fn(bgr)
-    elapsed = time.perf_counter() - start
     mpix = side * side / 1e6
+    # single-frame time is one relay round trip, whose latency swings
+    # 2-3x between minutes: average 6 reps per sweep, report the best of
+    # two sweeps with both disclosed (same treatment as gigapixel)
+    reps = 6
+    sweeps = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for _ in range(reps):
+            df = impl.data_fn(bgr)
+        elapsed = time.perf_counter() - start
+        sweeps.append(round(reps * mpix / elapsed, 3))
     _stderr(
         {
             "extra": "extraction_region_properties",
-            "value": round(reps * mpix / elapsed, 3),
+            "value": max(sweeps),
+            "sweeps": sweeps,
             "unit": "MPix/s",
             "regions": int(len(df)),
         }
