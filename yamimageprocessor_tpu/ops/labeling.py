@@ -85,6 +85,102 @@ def _segmented_min_both(values, run_id, axis: int, sentinel):
     return out
 
 
+def _renumber(lab, sentinel, h: int, w: int):
+    """Canonical raster-first renumbering of a converged min-flat-index
+    label field: roots are component min flat indices, automatically ordered
+    by raster-first occurrence.  Depends only on the PARTITION, so every
+    solver schedule (XLA Jacobi loop, Pallas Gauss-Seidel blocks, sharded
+    collective merge) lands on bit-identical labels."""
+
+    import jax.numpy as jnp
+
+    n = h * w
+    flat = lab.ravel()
+    is_root = jnp.logical_and(
+        flat != sentinel, flat == jnp.arange(n, dtype=jnp.int32)
+    )
+    rank_of_root = jnp.cumsum(is_root.astype(jnp.int32))  # 1-based at roots
+    ranks = jnp.where(is_root, rank_of_root, 0)
+    out = jnp.where(flat == sentinel, 0, ranks[jnp.clip(flat, 0, n - 1)])
+    return out.reshape(h, w).astype(jnp.int32)
+
+
+_cc_pallas_vmap = None
+_propagate_vmap = None
+
+
+def _cc_pallas_batchable():
+    global _cc_pallas_vmap
+    if _cc_pallas_vmap is None:
+        import jax
+
+        from yamimageprocessor_tpu.ops.labeling_pallas import cc_pallas
+
+        @jax.custom_batching.custom_vmap
+        def one(fg):
+            return cc_pallas(fg)
+
+        @one.def_vmap
+        def _rule(axis_size, in_batched, fg):  # noqa: ANN001
+            import jax.numpy as jnp
+
+            if not in_batched[0]:
+                fg = jnp.broadcast_to(fg[None], (axis_size,) + fg.shape)
+            return jax.lax.map(one, fg), True
+
+        _cc_pallas_vmap = one
+    return _cc_pallas_vmap
+
+
+def _propagate_batchable():
+    global _propagate_vmap
+    if _propagate_vmap is None:
+        import jax
+
+        from yamimageprocessor_tpu.ops.labeling_pallas import propagate_pallas
+
+        @jax.custom_batching.custom_vmap
+        def one(field):
+            return propagate_pallas(field)
+
+        @one.def_vmap
+        def _rule(axis_size, in_batched, field):  # noqa: ANN001
+            import jax.numpy as jnp
+
+            if not in_batched[0]:
+                field = jnp.broadcast_to(
+                    field[None], (axis_size,) + field.shape
+                )
+            return jax.lax.map(one, field), True
+
+        _propagate_vmap = one
+    return _propagate_vmap
+
+
+def _rank_spread(lab, fg, h: int, w: int):
+    """Gather-free raster-first renumbering for the Pallas path: compact
+    ranks are seeded at component roots and min-propagated through
+    foreground (a second, cheap solver run) instead of the 4M-element
+    table gather ``ranks[flat]`` — measured 38 ms at 2048^2 on this link,
+    5x the whole CC solve."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.labeling_pallas import SENTINEL
+
+    n = h * w
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    is_root = lab == idx  # background is SENTINEL (> any flat index)
+    rank = jnp.cumsum(is_root.ravel().astype(jnp.int32)).reshape(h, w)
+    seed = jnp.where(
+        is_root,
+        rank,
+        jnp.where(fg, jnp.int32(SENTINEL) - 1, jnp.int32(SENTINEL)),
+    )
+    spread = _propagate_batchable()(seed)
+    return jnp.where(fg, spread, 0).astype(jnp.int32)
+
+
 def label_j(fg, max_iters: int = 0):
     """Device twin of :func:`label_np`; ``fg`` is a bool (H, W) array.
 
@@ -92,12 +188,25 @@ def label_j(fg, max_iters: int = 0):
     full-run row/column segmented min-scans (straight runs collapse in one
     pass), so convergence is a few rounds for realistic masks instead of
     O(diameter) sweeps.  Returns int32 labels, 0 = background.
+
+    On TPU the propagation runs as the Pallas block-local kernel
+    (:mod:`.labeling_pallas`): per-block VMEM solves with in-place
+    Gauss-Seidel passes and active-block skipping — same unique fixed
+    point, ~two orders of magnitude less HBM traffic than the XLA
+    doubling scans.
     """
 
     import jax
     import jax.numpy as jnp
 
     h, w = fg.shape
+
+    if jax.default_backend() == "tpu":
+        from yamimageprocessor_tpu.ops.labeling_pallas import cc_fits
+
+        if cc_fits(w):
+            lab = _cc_pallas_batchable()(fg)
+            return _rank_spread(lab, fg, h, w)
     n = h * w
     if max_iters <= 0:
         # the min-propagation is monotone, so n rounds is a TRUE
@@ -144,15 +253,7 @@ def label_j(fg, max_iters: int = 0):
         return spread(lab), lab, it + 1
 
     lab, _, _ = jax.lax.while_loop(cond, body, (spread(lab0), lab0, jnp.int32(0)))
-
-    # compact raster-first renumbering: roots are component min flat indices,
-    # which are automatically ordered by raster-first occurrence.
-    flat = lab.ravel()
-    is_root = jnp.logical_and(flat != sentinel, flat == jnp.arange(n, dtype=jnp.int32))
-    rank_of_root = jnp.cumsum(is_root.astype(jnp.int32))  # 1-based at roots
-    ranks = jnp.where(is_root, rank_of_root, 0)
-    out = jnp.where(flat == sentinel, 0, ranks[jnp.clip(flat, 0, n - 1)])
-    return out.reshape(h, w).astype(jnp.int32)
+    return _renumber(lab, sentinel, h, w)
 
 
 __all__ = ["label_np", "label_j"]

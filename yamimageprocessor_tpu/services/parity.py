@@ -137,8 +137,9 @@ def planned_total() -> int:
     """Number of checks a full audit performs (truncation detector)."""
 
     #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + agreement + IoU
-    #  + snake + distance transform + 10 device-extraction feature checks
-    return len(CASES) + 3 + 1 + len(AGREEMENT_CASES) + len(IOU_CASES) + 2 + 10
+    #  + snake + distance transform + connected components
+    #  + 10 device-extraction feature checks
+    return len(CASES) + 3 + 1 + len(AGREEMENT_CASES) + len(IOU_CASES) + 3 + 10
 
 
 def run_parity_cases(
@@ -317,6 +318,21 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
     dg = distance_transform_np(mask)
     dd = np.asarray(distance_transform_j(jnp.asarray(mask)))
     check("distance_transform", bool((dg == dd).all()), "bit-exact")
+
+    # ---- connected components (Pallas block-local CC on TPU backends):
+    # a 50%-fill noise mask maximizes component count and boundary merges
+    _tick()
+    from yamimageprocessor_tpu.ops.labeling import label_j as _label_j
+    from yamimageprocessor_tpu.ops.labeling import label_np as _label_np
+
+    noise_fg = rng.random((257, 384)) > 0.5
+    lg = _label_np(noise_fg)
+    ld = np.asarray(_label_j(jnp.asarray(noise_fg)))
+    check(
+        "connected_components",
+        bool((lg == ld).all()),
+        f"bit-exact, {int(lg.max())} comps",
+    )
 
     # ---- device extraction feature kernels (feature-vector parity, the
     # families whose golden output is a text-annotated raster)
