@@ -256,4 +256,30 @@ def label_j(fg, max_iters: int = 0):
     return _renumber(lab, sentinel, h, w)
 
 
-__all__ = ["label_np", "label_j"]
+def label_seeds_j(fg):
+    """Distinct-positive seed labels: flood-equivalent to
+    ``label_j(fg) + 1`` up to an injective relabeling (foreground
+    components get distinct positive ints, background gets 1).
+
+    The watershed flood's painted output depends only on label
+    DISTINCTNESS — conflicts (``pos_min != pos_max``) and the propagated
+    unique label are invariant under any injective positive relabeling —
+    so marker construction can skip the canonical raster-first
+    renumbering (a second solver run on the Pallas path) entirely."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = fg.shape
+    if jax.default_backend() == "tpu":
+        from yamimageprocessor_tpu.ops.labeling_pallas import cc_fits
+
+        if cc_fits(w):
+            lab = _cc_pallas_batchable()(fg)
+            # min-flat-index labels: < h*w << 2^30, so +2 keeps them
+            # positive, distinct, and clear of the background seed 1
+            return jnp.where(fg, lab + 2, 1).astype(jnp.int32)
+    return label_j(fg) + 1
+
+
+__all__ = ["label_np", "label_j", "label_seeds_j"]

@@ -220,7 +220,7 @@ def watershed_seg_j(
 ):
     import jax.numpy as jnp
 
-    from yamimageprocessor_tpu.ops.labeling import label_j
+    from yamimageprocessor_tpu.ops.labeling import label_seeds_j
 
     gray = C.bgr_to_gray_j(img)
     thresh = T.binary_j(gray, T.otsu_threshold_j(gray), inverse=True)
@@ -233,7 +233,9 @@ def watershed_seg_j(
     unknown = jnp.maximum(
         sure_bg.astype(jnp.int16) - sure_fg.astype(jnp.int16), 0
     ).astype(jnp.uint8)
-    markers = label_j(sure_fg > 0) + 1
+    # seed labels skip the canonical renumbering: the flood's painted
+    # output is invariant under injective relabeling of markers
+    markers = label_seeds_j(sure_fg > 0)
     markers = jnp.where(unknown == 255, 0, markers)
     labels = W.watershed_j(img, markers)
     return W.paint_boundaries_j(img, labels)

@@ -2,13 +2,12 @@
 
 The plain-XLA flood (:mod:`.watershed`, ``watershed_j``) runs ONE
 level-synchronous sweep per ~15 fused full-frame HBM passes; dense scenes
-need thousands of sweeps, so the flood is HBM-bound (measured 3.2 s @4096²,
-slower than the reference's cv2 queue on CPU — ``core/segmentation.py:
-96-114``).  This kernel restructures the same automaton around VMEM:
+need thousands of sweeps, so the flood is HBM-bound.  This kernel
+restructures the same automaton around VMEM:
 
 * the frame is split into row blocks; each grid step loads its block plus a
-  K-row halo into VMEM and runs **K sweeps locally**.  A k-step radius-1
-  cellular automaton computed on a K-halo block is BIT-IDENTICAL to k global
+  halo into VMEM and runs **K sweeps locally**.  A k-step radius-1 cellular
+  automaton computed on a >=K-halo block is BIT-IDENTICAL to k global
   synchronous sweeps for the block's center rows, so the fixed point (and
   every intermediate state at level-advance boundaries) matches
   ``watershed_np`` exactly — the flood just pays HBM once per K sweeps
@@ -17,14 +16,33 @@ slower than the reference's cv2 queue on CPU — ``core/segmentation.py:
   loop advances the level exactly like the golden path (stall -> jump to
   the cheapest active frontier) and **skips stable blocks**: a block is
   re-swept only when it or a vertical neighbor changed in the previous
-  pass, or the level jumped into its frontier.  On typical scenes the
-  frontier touches a few blocks per pass, so most passes cost a fraction
-  of a frame.
+  pass, or the level jumped into its frontier.
 
-Layout: labels int32 (rows x 128-lane tiles), per-direction edge costs
-int32 with 0x7FFF as the "no neighbor" sentinel (v5e Mosaic cannot lower
-16-bit vector min/compare ops); all shifts are sublane / lane shifts, no
-gathers.
+Round-3 bandwidth redesign (flood was ~11 ms of a 21.7 ms 2048^2 chain):
+
+* **packed costs** — the four per-direction edge costs (<=255 each) ride
+  ONE int32 plane as uint8 fields instead of four int32 planes.  The old
+  0x7FFF "no neighbor" sentinel was never load-bearing: every position
+  whose cost could be garbage (frame edges, pad lanes/rows) has a
+  non-positive neighbor label there, and the automaton gates the cost
+  behind ``label > 0`` before it is ever compared.  4x less cost DMA.
+* **persistent padded ping-pong buffers** — labels stay in a
+  (hp + 2*halo, wp) padded buffer across the whole flood (pad rows WSHED,
+  written once at init), and each pass writes into the OTHER buffer via
+  ``input_output_aliases`` donation, eliminating the old per-pass
+  full-frame ``concatenate``.  Jacobi synchrony is preserved because reads
+  and writes touch different buffers.
+* **true skip-inactive** — inactive blocks no longer DMA + copy through;
+  their rows in the destination buffer are already current.  Invariant: a
+  block that changes at pass q is active (and writes) at q+1 as well, so
+  BOTH ping-pong buffers hold its post-change rows; thereafter skipping is
+  sound.  Late flood passes that touch 1-2 frontier blocks now cost only
+  those blocks.
+
+Layout: labels int32 (rows x 128-lane tiles); halo = 8*ceil(k/8) so every
+DMA window start/shape stays 8-row aligned (Mosaic tiling rule); costs
+unpacked once per active block-pass with logical shifts; all shifts are
+sublane / lane shifts, no gathers.
 """
 from __future__ import annotations
 
@@ -33,8 +51,9 @@ import functools
 import numpy as np
 
 _WSHED = -1
-_SENT16 = 0x7FFF  # "no neighbor" cost sentinel (any level 0..255 is below it)
+_SENT16 = 0x7FFF  # "no neighbor" trig sentinel (any level 0..255 is below it)
 _BIGLAB = 1 << 30
+_VMEM_BUDGET = 32 << 20  # raised via CompilerParams; ~12 live i32 planes
 
 
 @functools.lru_cache(maxsize=32)
@@ -46,8 +65,9 @@ def _build_flood(
     interpret: bool,
     force_active: bool = False,
 ):
-    """Compiled flood pass for a padded (hp, w) frame; returns a jitted
-    ``run(lab0, costs4) -> labels`` for the full level schedule."""
+    """Compiled flood for a padded (hp, w) frame; returns a jitted
+    ``run(lab_pad, spare, packed) -> labels_pad`` for the full level
+    schedule."""
 
     import jax
     import jax.numpy as jnp
@@ -55,7 +75,8 @@ def _build_flood(
     from jax.experimental.pallas import tpu as pltpu
 
     nb = hp // block_rows
-    r2 = block_rows + 2 * k
+    halo = 8 * (-(-k // 8))  # k rounded up to the DMA row-alignment unit
+    r2 = block_rows + 2 * halo
 
     def _neighbor_views(lab):
         zr = jnp.zeros((1, w), jnp.int32)
@@ -69,8 +90,8 @@ def _build_flood(
     def _frontier(lab, costs):
         """(trig_cost, pos_min, pos_max) of one synchronous sweep.  Costs
         are int32 end-to-end: v5e Mosaic cannot legalize ANY 16-bit vector
-        min/compare (minui, minsi, cmp), so the narrow-cost bandwidth
-        optimization is unavailable on this target."""
+        min/compare, so the narrow-cost bandwidth optimization happens at
+        the DMA layer (uint8 fields in one int32 plane) instead."""
 
         sent = jnp.int32(_SENT16)
         trig_cost = jnp.full(lab.shape, sent, jnp.int32)
@@ -84,87 +105,111 @@ def _build_flood(
             pos_max = jnp.maximum(pos_max, nl)
         return trig_cost, pos_min, pos_max
 
-    def kernel(level_ref, active_ref, lab_hbm, cu_hbm, cd_hbm, cl_hbm, cr_hbm,
-               out_ref, changed_ref, frontier_ref, unknown_ref,
-               lab_s, cu_s, cd_s, cl_s, cr_s, sems):
+    def kernel(level_ref, active_ref, lab_hbm, pk_hbm, spare_hbm,
+               out_hbm, changed_ref, frontier_ref, unknown_ref,
+               lab_s, pk_s, out_s, sems):
+        del spare_hbm  # storage donated to out_hbm; never read
         i = pl.program_id(0)
         level = level_ref[0]
         active = active_ref[i] > 0
 
-        lab_dma = pltpu.make_async_copy(
-            lab_hbm.at[pl.ds(i * block_rows, r2)], lab_s, sems.at[0]
-        )
-        lab_dma.start()
-
-        @pl.when(active)
-        def _():
-            for idx, (hbm, sc) in enumerate(
-                ((cu_hbm, cu_s), (cd_hbm, cd_s), (cl_hbm, cl_s), (cr_hbm, cr_s))
-            ):
-                pltpu.make_async_copy(
-                    hbm.at[pl.ds(i * block_rows, r2)], sc, sems.at[idx + 1]
-                ).start()
-
-        lab_dma.wait()
-
         @pl.when(jnp.logical_not(active))
         def _():
-            out_ref[:] = lab_s[k : k + block_rows]
+            # ping-pong invariant: a block that changed at pass q is active
+            # at q+1 too, so both buffers already hold its current rows —
+            # skipped blocks need no DMA at all.  The outer loop keeps the
+            # old frontier/unknown for inactive blocks.
             changed_ref[i] = 0
             frontier_ref[i] = _SENT16
             unknown_ref[i] = 0
 
         @pl.when(active)
         def _():
-            for idx in range(4):
-                pltpu.make_async_copy(
-                    (cu_hbm, cd_hbm, cl_hbm, cr_hbm)[idx].at[
-                        pl.ds(i * block_rows, r2)
-                    ],
-                    (cu_s, cd_s, cl_s, cr_s)[idx],
-                    sems.at[idx + 1],
-                ).wait()
-            costs = (cu_s[:], cd_s[:], cl_s[:], cr_s[:])
+            lab_dma = pltpu.make_async_copy(
+                lab_hbm.at[pl.ds(i * block_rows, r2)], lab_s, sems.at[0]
+            )
+            pk_dma = pltpu.make_async_copy(
+                pk_hbm.at[pl.ds(i * block_rows, r2)], pk_s, sems.at[1]
+            )
+            lab_dma.start()
+            pk_dma.start()
+            lab_dma.wait()
+            pk_dma.wait()
+
+            pk = pk_s[:]
+            mask = jnp.int32(0xFF)
+            costs = tuple(
+                jax.lax.shift_right_logical(pk, jnp.int32(s)) & mask
+                for s in (0, 8, 16, 24)
+            )
             level16 = level
             lab0 = lab_s[:]
 
-            def sweep(_, lab):
+            # early-exit sweep loop: once a sweep changes nothing the
+            # automaton is at its local fixed point and the remaining
+            # budget would be no-ops — stalled/level-advance passes cost
+            # ONE sweep instead of k (the flood is compute-bound; measured
+            # pass counts are level-limited, not sweep-limited)
+            def scond(state):
+                it, _, _, ch = state
+                return ch & (it < k)
+
+            def sbody(state):
+                it, lab, _, _ = state
                 trig_cost, pos_min, pos_max = _frontier(lab, costs)
                 unknown = lab == 0
                 trig = unknown & (trig_cost <= level16)
                 new_val = jnp.where(
                     pos_min != pos_max, jnp.int32(_WSHED), pos_min
                 )
-                return jnp.where(trig, new_val, lab)
+                new = jnp.where(trig, new_val, lab)
+                return it + 1, new, trig_cost, jnp.any(new != lab)
 
-            lab = jax.lax.fori_loop(0, k, sweep, lab0)
-            center = lab[k : k + block_rows]
-            out_ref[:] = center
+            _, lab, trig_cost, _ = jax.lax.while_loop(
+                scond,
+                sbody,
+                (
+                    jnp.int32(0),
+                    lab0,
+                    jnp.zeros((r2, w), jnp.int32),
+                    jnp.bool_(True),
+                ),
+            )
+            center = lab[halo : halo + block_rows]
+            out_s[:] = center
             changed_ref[i] = jnp.any(
-                center != lab0[k : k + block_rows]
+                center != lab0[halo : halo + block_rows]
             ).astype(jnp.int32)
-            # frontier/unknown of the FINAL state (drives the level jump)
-            trig_cost, _, _ = _frontier(lab, costs)
+            # frontier of the final state: when the loop exits on a STALL
+            # (the only passes whose frontiers the level jump consumes),
+            # the carried trig_cost was computed from the fixed point
+            # itself; a cap-k exit leaves it one sweep stale, but that
+            # block changed, so it re-runs (and refreshes) before any
+            # global stall can read its frontier
             unk_c = center == 0
-            # int32 before the reduce: Mosaic has no unsigned reductions
             tc_c = jnp.where(
                 unk_c,
-                trig_cost[k : k + block_rows],
+                trig_cost[halo : halo + block_rows],
                 jnp.int32(_SENT16),
             )
             frontier_ref[i] = jnp.min(tc_c)
             unknown_ref[i] = jnp.sum(unk_c.astype(jnp.int32))
+            cp_out = pltpu.make_async_copy(
+                out_s,
+                out_hbm.at[pl.ds(halo + i * block_rows, block_rows)],
+                sems.at[2],
+            )
+            cp_out.start()
+            cp_out.wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # level, active flags
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=(
-            pl.BlockSpec((block_rows, w), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             # whole-array SMEM outputs persisted across the sequential
-            # grid (blocked SMEM scalars fail Mosaic's tiling rules); each
-            # block writes its own slot by program id
+            # grid; each block writes its own slot by program id
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -172,34 +217,38 @@ def _build_flood(
         scratch_shapes=[
             pltpu.VMEM((r2, w), jnp.int32),
             pltpu.VMEM((r2, w), jnp.int32),
-            pltpu.VMEM((r2, w), jnp.int32),
-            pltpu.VMEM((r2, w), jnp.int32),
-            pltpu.VMEM((r2, w), jnp.int32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((block_rows, w), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
+    kwargs = {}
+    if not interpret:
+        # the default ~16M scoped-VMEM limit would force small blocks at
+        # 2048-lane widths; there is no auto-pipelining to starve, so give
+        # the manually-DMA'd working set head room
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + (2 << 20)
+        )
     flood_pass = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((hp + 2 * halo, w), jnp.int32),
             jax.ShapeDtypeStruct((nb,), jnp.int32),
             jax.ShapeDtypeStruct((nb,), jnp.int32),
             jax.ShapeDtypeStruct((nb,), jnp.int32),
         ),
+        # input 4 = spare buffer (scalar-prefetch args count first): its
+        # storage becomes this pass's output, ping-ponged by the caller
+        input_output_aliases={4: 0},
         interpret=interpret,
+        **kwargs,
     )
 
-    # numpy, NOT jnp: _build_flood may first run inside an outer jit trace,
-    # and a traced constant cached in this closure would leak its tracer
-    pad_rows = np.full((k, w), _WSHED, np.int32)
-
-    def run(lab0, costs4):
-        cu, cd, cl, cr = costs4
-
+    def run(lab_pad, spare, packed):
         def cond(state):
-            _, level, _, frontier, unknown, _ = state
+            _, _, level, _, frontier, unknown, _ = state
             return (level < 256) & (jnp.sum(unknown) > 0)
 
         def _dilate1(flags):
@@ -217,20 +266,17 @@ def _build_flood(
             )
 
         def body(state):
-            lab, level, changed, frontier, unknown, jumped = state
+            cur, other, level, changed, frontier, unknown, jumped = state
             woken = jumped & (frontier <= level)
             active = (_dilate1(changed) > 0) | _dilate1(woken)
             if force_active:  # debug/validation mode: no block skipping
                 active = jnp.ones((nb,), bool)
-            lab_p = jnp.concatenate([pad_rows, lab, pad_rows], axis=0)
             new_lab, new_changed, new_frontier, new_unknown = flood_pass(
                 level[None].astype(jnp.int32),
                 active.astype(jnp.int32),
-                lab_p,
-                cu,
-                cd,
-                cl,
-                cr,
+                cur,
+                packed,
+                other,
             )
             frontier = jnp.where(active, new_frontier, frontier)
             unknown = jnp.where(active, new_unknown, unknown)
@@ -241,6 +287,7 @@ def _build_flood(
             )
             return (
                 new_lab,
+                cur,  # old front buffer becomes next pass's donation target
                 new_level,
                 new_changed,
                 frontier,
@@ -249,7 +296,8 @@ def _build_flood(
             )
 
         init = (
-            lab0,
+            lab_pad,
+            spare,
             jnp.int32(0),
             jnp.ones((nb,), jnp.int32),  # every block active on pass 1
             jnp.zeros((nb,), jnp.int32),
@@ -260,11 +308,10 @@ def _build_flood(
         return lab
 
     run.flood_pass = flood_pass  # exposed for parity debugging
-    run.pad_rows = pad_rows
     return run
 
 
-def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
+def flood_pallas(image, markers, *, block_rows: int = 256, k_sweeps: int = 8,
                  interpret: bool = False, force_active: bool = False):
     """Level-synchronous watershed flood, Pallas block edition.
 
@@ -282,67 +329,75 @@ def flood_pallas(image, markers, *, block_rows: int = 64, k_sweeps: int = 8,
     dyc = jnp.abs(img[1:, :] - img[:-1, :]).max(axis=-1).astype(jnp.int32)
     dxc = jnp.abs(img[:, 1:] - img[:, :-1]).max(axis=-1).astype(jnp.int32)
 
-    sent = jnp.int32(_SENT16)
-    cu = jnp.full((h, w), sent, jnp.int32).at[1:, :].set(dyc)
-    cd = jnp.full((h, w), sent, jnp.int32).at[:-1, :].set(dyc)
-    cl = jnp.full((h, w), sent, jnp.int32).at[:, 1:].set(dxc)
-    cr = jnp.full((h, w), sent, jnp.int32).at[:, :-1].set(dxc)
+    # packed per-direction costs, one uint8 field each: positions with no
+    # true neighbor keep 0 — harmless, the automaton checks label > 0
+    # before ever comparing the cost
+    z = jnp.zeros((h, w), jnp.int32)
+    cu = z.at[1:, :].set(dyc)
+    cd = z.at[:-1, :].set(dyc)
+    cl = z.at[:, 1:].set(dxc)
+    cr = z.at[:, :-1].set(dxc)
+    packed = cu | (cd << 8) | (cl << 16) | (cr << 24)
 
     lab0 = markers.astype(jnp.int32)
     border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     lab0 = jnp.where(border, _WSHED, lab0)
 
-    block = min(block_rows, max(8, -(-h // 8) * 8))  # sublane-aligned
+    block = min(block_rows, max(8, -(-h // 8) * 8))
+    block = -(-block // 8) * 8  # DMA row alignment
     wp = -(-w // 128) * 128  # pad lanes to the vreg width
     k = min(k_sweeps, block)
 
-    # scoped-VMEM budget: the kernel keeps ~16 (block+2k, wp) i32 arrays
-    # live (5 scratch buffers + sweep temporaries + double buffering);
-    # at wp=4096 the former fixed (64, 8) geometry wanted 21.4M against
-    # the 16M scoped limit.  Shrink block, then k, until the footprint
-    # fits a 13M budget — same fixed point, just more grid steps.
-    # floor = the minimal viable geometry (block=8, k=2 -> 12); a higher
-    # floor would override the budget for wide frames and overflow scoped
-    # VMEM (callers gate on pallas_fits() before choosing this kernel)
-    r2_cap = max(12, (13 << 20) // (64 * wp))
-    while block + 2 * k > r2_cap and block > 8:
+    # scoped-VMEM budget: the kernel keeps ~12 (block+2*halo, wp) i32
+    # arrays live (label + packed scratch + 4 unpacked costs + sweep
+    # temporaries + out scratch).  Shrink k toward 8, then block, then k
+    # further, until the footprint fits — same fixed point, just more
+    # grid steps / passes.
+    def _r2(b, kk):
+        return b + 2 * 8 * (-(-kk // 8))
+
+    r2_cap = max(24, _VMEM_BUDGET // (48 * wp))
+    while _r2(block, k) > r2_cap and k > 8:
+        k = max(8, k // 2)
+    while _r2(block, k) > r2_cap and block > 8:
         block = max(8, block // 2)
-    while block + 2 * k > r2_cap and k > 2:
+    while _r2(block, k) > r2_cap and k > 2:
         k = max(2, k // 2)
     k = min(k, block)
 
     hp = -(-h // block) * block  # pad rows to a whole number of blocks
+    halo = 8 * (-(-k // 8))
 
     def pad2(a, fill):
-        return jnp.pad(
-            a, ((0, hp - h), (0, wp - w)), constant_values=fill
-        )
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=fill)
 
-    lab0 = pad2(lab0, _WSHED)
-    # cost planes get the same K leading/trailing pad rows the label carry
-    # receives per pass, so block-relative DMA windows stay row-aligned
-    costs4 = tuple(
-        jnp.pad(
-            pad2(c, _SENT16), ((k, k), (0, 0)), constant_values=_SENT16
-        )
-        for c in (cu, cd, cl, cr)
+    # persistent padded buffers: halo pad rows are WSHED labels / zero
+    # costs, written once here and never touched again (the kernel writes
+    # only center rows; WSHED pads neither trigger nor contribute labels)
+    lab_pad = jnp.pad(
+        pad2(lab0, _WSHED), ((halo, halo), (0, 0)), constant_values=_WSHED
     )
-    # pad columns/rows must never interact: their costs are sentinel and
-    # their labels WSHED, so they neither trigger nor contribute labels
+    packed_pad = jnp.pad(
+        pad2(packed, 0), ((halo, halo), (0, 0)), constant_values=0
+    )
+    # distinct-by-construction spare (never read; donated as pass output).
+    # Interior differs from lab_pad so no CSE can fold the two into one
+    # buffer, which would break Jacobi synchrony on pass 1.
+    spare = jnp.full((hp + 2 * halo, wp), _WSHED, jnp.int32)
 
     run = _build_flood(hp, wp, block, k, interpret, force_active)
-    lab = run(lab0, costs4)
-    return lab[:h, :w]
+    lab = run(lab_pad, spare, packed_pad)
+    return lab[halo : halo + h, :w]
 
 
 def pallas_fits(width: int) -> bool:
-    """True when the minimal kernel geometry (block=8, k=2) fits the
-    scoped-VMEM budget at this frame width; wider frames must take the
+    """True when the minimal kernel geometry (block=8, k=2 -> r2=24) fits
+    the scoped-VMEM budget at this frame width; wider frames must take the
     XLA flood path."""
 
     wp = -(-int(width) // 128) * 128
-    return (13 << 20) // (64 * wp) >= 12
+    return _VMEM_BUDGET // (48 * wp) >= 24
 
 
 __all__ = ["flood_pallas", "pallas_fits"]
