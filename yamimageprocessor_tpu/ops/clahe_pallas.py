@@ -23,9 +23,14 @@ from typing import Tuple
 
 def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
                        interpret: bool = False):
-    """``vals`` (h, w) int/uint8 gray; ``luts`` (gh, gw, 256) f32 integer
-    tables; ``interp`` = ((y0, y1, fy), (x0, x1, fx)) host arrays from
-    ``clahe._interp_weights``.  Returns the blended uint8 frame."""
+    """``vals`` (h, w) or (n, h, w) int/uint8 gray; ``luts`` (gh, gw, 256)
+    or (n, gh, gw, 256) f32 integer tables; ``interp`` = ((y0, y1, fy),
+    (x0, x1, fx)) host arrays from ``clahe._interp_weights``.  Returns the
+    blended uint8 frame(s).
+
+    A whole batch is ONE pallas call with a leading frame grid dimension —
+    the batched preprocessing chain (BASELINE config 2) previously paid 64
+    sequential kernel launches through the ``lax.map`` vmap rule."""
 
     import jax
     import jax.numpy as jnp
@@ -33,8 +38,12 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    squeeze = vals.ndim == 2
+    if squeeze:
+        vals = vals[None]
+        luts = luts[None]
+    n, h, w = vals.shape
     gh, gw = grid
-    h, w = vals.shape
     th, tw = h // gh, w // gw
     bh, bw = th // 2, tw // 2
     nby, nbx = h // bh, w // bw  # = 2gh x 2gw
@@ -55,59 +64,78 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
     )
 
     # pack each (256,) table into 64 int32 words (tables are integer 0..255)
-    words = _pack_lut_words(luts)  # (gh, gw, 64)
+    words = _pack_lut_words(luts)  # (n, gh, gw, 64)
 
-    fy_col = jnp.asarray(fy, jnp.float32).reshape(h, 1)
-    fx_row = jnp.asarray(fx, jnp.float32).reshape(1, w)
+    # full 2-D weight maps (4 MB f32 each, shared across frames): Mosaic
+    # rejects in-kernel broadcasts of (bh, 1)/(1, w) vectors to (bh, bw)
+    # tiles ("invalid input layout"), so the rank-1 factors are expanded
+    # here and the kernel slices native 2-D blocks instead
+    fy_map = jnp.broadcast_to(
+        jnp.asarray(fy, jnp.float32).reshape(h, 1), (h, w)
+    )
+    fx_map = jnp.broadcast_to(
+        jnp.asarray(fx, jnp.float32).reshape(1, w), (h, w)
+    )
 
     def tree_lookup(x, read_word):
         word = _select_word_tree(x, read_word, 64, 2)
         sh = (x & 3) * 8
         return (jnp.right_shift(word, sh) & 255).astype(jnp.float32)
 
-    def kernel(by0_r, by1_r, bx0_r, bx1_r, v_ref, w_ref, fy_ref, fx_ref, out_ref):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(by0_r, by1_r, bx0_r, bx1_r, v_ref, w_ref, fy_ref, fx_ref,
+               out_ref):
+        # grid is (frame, y-band) only — a 3-D (n, nby, nbx) grid's
+        # per-step pipeline bookkeeping overflowed the 1 MiB SMEM at
+        # batch 64; the x-segments are a static in-kernel loop instead
+        f = pl.program_id(0)
+        i = pl.program_id(1)
         ty0 = by0_r[i]
         ty1 = by1_r[i]
-        tx0 = bx0_r[j]
-        tx1 = bx1_r[j]
-        x = v_ref[:].astype(jnp.int32)
-        t00 = tree_lookup(x, lambda k: w_ref[ty0, tx0, k])
-        t01 = tree_lookup(x, lambda k: w_ref[ty0, tx1, k])
-        t10 = tree_lookup(x, lambda k: w_ref[ty1, tx0, k])
-        t11 = tree_lookup(x, lambda k: w_ref[ty1, tx1, k])
-        fy2 = fy_ref[:]
-        fx2 = fx_ref[:]
-        w00 = (1 - fy2) * (1 - fx2)
-        w01 = (1 - fy2) * fx2
-        w10 = fy2 * (1 - fx2)
-        w11 = fy2 * fx2
-        out = w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
-        out_ref[:] = (
-            jnp.clip(jnp.rint(out), 0, 255).astype(jnp.int32).astype(jnp.uint8)
-        )
+        x_row = v_ref[0].astype(jnp.int32)
+        fyb = fy_ref[:]
+        fxb = fx_ref[:]
+        for j in range(nbx):
+            sl = slice(j * bw, (j + 1) * bw)
+            tx0 = bx0_r[j]
+            tx1 = bx1_r[j]
+            x = x_row[:, sl]
+            t00 = tree_lookup(x, lambda k: w_ref[f, ty0, tx0, k])
+            t01 = tree_lookup(x, lambda k: w_ref[f, ty0, tx1, k])
+            t10 = tree_lookup(x, lambda k: w_ref[f, ty1, tx0, k])
+            t11 = tree_lookup(x, lambda k: w_ref[f, ty1, tx1, k])
+            fy2 = fyb[:, sl]
+            fx2 = fxb[:, sl]
+            w00 = (1 - fy2) * (1 - fx2)
+            w01 = (1 - fy2) * fx2
+            w10 = fy2 * (1 - fx2)
+            w11 = fy2 * fx2
+            out = w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+            out_ref[0, :, sl] = (
+                jnp.clip(jnp.rint(out), 0, 255)
+                .astype(jnp.int32)
+                .astype(jnp.uint8)
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # by0, by1, bx0, bx1
-        grid=(nby, nbx),
+        grid=(n, nby),
         in_specs=[
-            pl.BlockSpec((bh, bw), lambda i, j, *_: (i, j),
+            pl.BlockSpec((1, bh, w), lambda f, i, *_: (f, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed tables
-            pl.BlockSpec((bh, 1), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((bh, w), lambda f, i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bw), lambda i, j, *_: (0, j),
+            pl.BlockSpec((bh, w), lambda f, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bh, bw), lambda i, j, *_: (i, j),
+        out_specs=pl.BlockSpec((1, bh, w), lambda f, i, *_: (f, i, 0),
                                memory_space=pltpu.VMEM),
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
         interpret=interpret,
     )(
         jnp.asarray(by0),
@@ -116,10 +144,10 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
         jnp.asarray(bx1),
         vals.astype(jnp.int32),
         words,
-        fy_col,
-        fx_row,
+        fy_map,
+        fx_map,
     )
-    return out
+    return out[0] if squeeze else out
 
 
 def clahe_tile_histograms(work, grid: Tuple[int, int]):
@@ -152,4 +180,25 @@ def clahe_tile_histograms(work, grid: Tuple[int, int]):
     return jnp.moveaxis(counts, 0, -1)
 
 
-__all__ = ["clahe_blend_pallas", "clahe_tile_histograms"]
+def clahe_tile_histograms_batch(work, grid: Tuple[int, int]):
+    """(n, gh, gw, 256) histograms for a BATCH of frames (n, h, w) in one
+    CSA kernel call — the batched chain's per-frame launches collapsed."""
+
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_batch
+
+    gh, gw = grid
+    n, h, w = work.shape
+    th, tw = h // gh, w // gw
+    tiles = (
+        work.reshape(n, gh, th, gw, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n * gh * gw, th, tw)
+    )
+    return histogram256_batch(tiles).reshape(n, gh, gw, 256)
+
+
+__all__ = [
+    "clahe_blend_pallas",
+    "clahe_tile_histograms",
+    "clahe_tile_histograms_batch",
+]

@@ -357,6 +357,13 @@ def histogram256_batch(imgs):
     from jax.experimental.pallas import tpu as pltpu
 
     n = imgs.shape[0]
+    if n > 768:
+        # the whole-array (n, 256) int32 output lives in SMEM (1 MiB):
+        # larger batches are split so each call stays under ~768 KiB
+        pieces = [
+            histogram256_batch(imgs[s : s + 768]) for s in range(0, n, 768)
+        ]
+        return jnp.concatenate(pieces, axis=0)
     flat = imgs.reshape(n, -1)
     pad = (-flat.shape[1]) % 1024
     if pad:
