@@ -320,6 +320,48 @@ def test_clahe_blend_pallas_interpret_parity():
     assert (out == ref).all()
 
 
+def test_clahe_blend_pallas_batched_interpret_parity():
+    """The batched blend (leading frame grid dim, per-frame packed tables)
+    must match the single-frame kernel frame-by-frame — this is the path
+    the vmapped chain takes on TPU."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import clahe as CL
+    from yamimageprocessor_tpu.ops.clahe_pallas import (
+        clahe_blend_pallas,
+        clahe_tile_histograms,
+    )
+
+    rng = np.random.default_rng(10)
+    n, h, w = 3, 128, 128
+    gh = gw = 4
+    frames = jnp.asarray(rng.integers(0, 256, (n, h, w), dtype=np.uint8))
+    area = (h // gh) * (w // gw)
+    interp = CL._interp_weights(h, w, (gh, gw))
+    hists = jnp.stack(
+        [
+            clahe_tile_histograms(frames[i], (gh, gw)).reshape(gh, gw, 256)
+            for i in range(n)
+        ]
+    )
+    luts = CL._clip_and_lut_j(hists, 2.0, area)
+    batched = np.asarray(
+        clahe_blend_pallas(frames, luts, interp, (gh, gw), interpret=True)
+    )
+    for i in range(n):
+        single = np.asarray(
+            clahe_blend_pallas(
+                frames[i], luts[i], interp, (gh, gw), interpret=True
+            )
+        )
+        assert (batched[i] == single).all()
+        ref = np.asarray(
+            CL.clahe_j(frames[i], clip_limit=2.0, grid=(gh, gw))
+        )
+        assert (batched[i] == ref).all()
+
+
 def test_clahe_color(bgr):
     impl = get_impl("preprocessing.clahe")
     out = impl.golden_fn(bgr, clip_limit=2.0, grid_size=4)

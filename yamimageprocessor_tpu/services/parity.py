@@ -136,10 +136,10 @@ def synthetic_scene(
 def planned_total() -> int:
     """Number of checks a full audit performs (truncation detector)."""
 
-    #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + agreement + IoU
-    #  + snake + distance transform + connected components
-    #  + 10 device-extraction feature checks
-    return len(CASES) + 3 + 1 + len(AGREEMENT_CASES) + len(IOU_CASES) + 3 + 10
+    #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + 1 batched CLAHE
+    #  + agreement + IoU + snake + distance transform
+    #  + connected components + 10 device-extraction feature checks
+    return len(CASES) + 3 + 2 + len(AGREEMENT_CASES) + len(IOU_CASES) + 3 + 10
 
 
 def run_parity_cases(
@@ -242,6 +242,30 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
     passed += diff == 0
     progress[:] = [passed, total]
     emit(f"{'OK ' if diff == 0 else 'FAIL'} clahe fast path 256x2048: maxdiff={diff}")
+
+    # vmapped CLAHE takes the BATCHED blend kernel (one call, frame grid
+    # dim) — audit it against the per-frame golden on hardware
+    _tick()
+    import jax as _jax
+
+    from yamimageprocessor_tpu.ops import clahe as _CL
+
+    frames = rng.integers(0, 256, (3, 256, 2048), dtype=np.uint8)
+    batched = np.asarray(
+        _jax.vmap(lambda f: _CL.clahe_j(f, clip_limit=2.0, grid=(8, 8)))(
+            jnp.asarray(frames)
+        )
+    )
+    bdiff = 0
+    for k in range(frames.shape[0]):
+        g = _CL.clahe_np(frames[k], clip_limit=2.0, grid=(8, 8))
+        bdiff = max(
+            bdiff, int(np.abs(batched[k].astype(np.int64) - g).max())
+        )
+    total += 1
+    passed += bdiff == 0
+    progress[:] = [passed, total]
+    emit(f"{'OK ' if bdiff == 0 else 'FAIL'} clahe batched blend x3: maxdiff={bdiff}")
 
     def check(name: str, ok: bool, detail: str = "") -> None:
         nonlocal passed, total
