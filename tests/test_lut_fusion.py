@@ -114,3 +114,21 @@ def test_batched_run_matches(gray):
             [o[k] for o in outs], _golden_sequential(frames[k], steps)
         ):
             np.testing.assert_array_equal(got, want)
+
+
+def test_histogram256_lane_grouped_parity():
+    """Grouped CSA (8 tiles per vreg row) must bincount-match for odd tile
+    counts and non-aligned pixel counts (pad-correction paths)."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_lane_grouped
+
+    rng = np.random.default_rng(21)
+    for n, px in ((3, 1024), (8, 2048), (11, 1000), (16, 65536)):
+        tiles = rng.integers(0, 256, (n, px), dtype=np.uint8)
+        got = np.asarray(histogram256_lane_grouped(jnp.asarray(tiles)))
+        want = np.stack(
+            [np.bincount(tiles[i], minlength=256) for i in range(n)]
+        )
+        assert (got == want).all(), (n, px)

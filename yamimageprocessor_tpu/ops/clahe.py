@@ -191,14 +191,14 @@ def _clahe_fast(clip_limit: float, grid: Tuple[int, int], shape):
         del axis_size, in_batched
         if work.ndim != 3:  # nested vmap: peel one axis at a time
             return jax.lax.map(fast, work), True
-        # histograms stay per-frame (measured: the 4 MB/frame working set
-        # is cache-friendly; a fully batched sweep materializes 256 MB and
-        # runs 2.6x slower, and the CSA batch kernel's decode dominates at
-        # 64 KPix tiles) — but the BLEND runs as ONE kernel with a frame
-        # grid dimension instead of a launch per frame
-        hist = jax.lax.map(
-            lambda f: clahe_tile_histograms(f, grid), work
-        ).reshape(-1, gh, gw, 256)
+        # whole batch in TWO kernel calls: lane-grouped CSA histograms
+        # (decode shared 8 tiles per vreg row) + one blend with a frame
+        # grid dimension, instead of 2 launches per frame
+        from yamimageprocessor_tpu.ops.clahe_pallas import (
+            clahe_tile_histograms_batch,
+        )
+
+        hist = clahe_tile_histograms_batch(work, grid)
         luts = _clip_and_lut_j(hist, clip_limit, area)
         return clahe_blend_pallas(work, luts, interp, grid), True
 

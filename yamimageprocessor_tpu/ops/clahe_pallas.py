@@ -154,11 +154,10 @@ def clahe_tile_histograms(work, grid: Tuple[int, int]):
     """(gh*gw, 256) histograms of the grid tiles.
 
     Large tiles go through the CSA batch kernel; small tiles (the common
-    CLAHE case — 64 tiles of a few hundred KPix) use the plain XLA level
-    sweep, whose 2 ops/px/level beats paying the CSA bit-plane decode per
-    tile."""
+    CLAHE case — tens of tiles of a few hundred KPix) through the
+    lane-grouped CSA kernel, which amortizes the bit-plane decode over 8
+    lane-resident tiles per group."""
 
-    import jax
     import jax.numpy as jnp
 
     gh, gw = grid
@@ -173,18 +172,19 @@ def clahe_tile_histograms(work, grid: Tuple[int, int]):
         from yamimageprocessor_tpu.pallas_kernels import histogram256_batch
 
         return histogram256_batch(tiles.astype(jnp.uint8))
-    x = tiles.astype(jnp.int32)
-    counts = jax.lax.map(
-        lambda k: (x == k).sum(axis=(1, 2)), jnp.arange(256, dtype=jnp.int32)
-    )  # (256, n)
-    return jnp.moveaxis(counts, 0, -1)
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_lane_grouped
+
+    return histogram256_lane_grouped(tiles.astype(jnp.uint8))
 
 
 def clahe_tile_histograms_batch(work, grid: Tuple[int, int]):
     """(n, gh, gw, 256) histograms for a BATCH of frames (n, h, w) in one
-    CSA kernel call — the batched chain's per-frame launches collapsed."""
+    lane-grouped CSA call — the batched chain's per-frame launches
+    collapsed, with the decode shared 8 tiles at a time."""
 
-    from yamimageprocessor_tpu.pallas_kernels import histogram256_batch
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_lane_grouped
 
     gh, gw = grid
     n, h, w = work.shape
@@ -194,7 +194,9 @@ def clahe_tile_histograms_batch(work, grid: Tuple[int, int]):
         .transpose(0, 1, 3, 2, 4)
         .reshape(n * gh * gw, th, tw)
     )
-    return histogram256_batch(tiles).reshape(n, gh, gw, 256)
+    return histogram256_lane_grouped(tiles.astype(jnp.uint8)).reshape(
+        n, gh, gw, 256
+    )
 
 
 __all__ = [

@@ -289,6 +289,118 @@ def _hist_depth(total_chunks: int) -> int:
     return max(6, math.ceil(math.log2(total_chunks + 1)) + 1)
 
 
+def _hist_decode_grouped(out_ref, acc_ref, depth: int, g):
+    """Bit-plane decode for 8 lane-resident tiles at once: the expensive
+    per-bin extraction (depth shifts/masks over the full (CHUNK, 1024)
+    scratch) is computed once and segment-reduced per 128-lane tile slot."""
+    import jax
+    import jax.numpy as jnp
+
+    for j in range(8):
+
+        def body(b, _, j=j):
+            cnt = jnp.zeros((_CHUNK, 1024), jnp.int32)
+            for d in range(depth):
+                cnt = cnt + (
+                    jnp.right_shift(acc_ref[j * depth + d], b) & 1
+                ) * (1 << d)
+            for t in range(8):
+                out_ref[g * 8 + t, j * 32 + b] = jnp.sum(
+                    cnt[:, t * 128 : (t + 1) * 128]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, 32, body, 0)
+
+
+def histogram256_lane_grouped(tiles):
+    """(N, ...) uint8 -> (N, 256) int32 histograms for MANY SMALL tiles:
+    8 tiles share each vreg row (tile t of a group owns lanes
+    [128t, 128(t+1))), so the decode's per-bin bit-plane extraction — the
+    dominant cost at CLAHE tile sizes, where `histogram256_batch` pays a
+    full-width decode per tile — is amortized over 8 tiles.  Measured on
+    the 64x16-tile CLAHE batch this replaces a 39 ms level sweep."""
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        from yamimageprocessor_tpu.ops.lutops import histogram256_j
+
+        return jax.vmap(histogram256_j)(tiles.reshape(tiles.shape[0], -1))
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = tiles.shape[0]
+    if n > 768:
+        # whole-array SMEM output: stay under the 1 MiB space per call
+        pieces = [
+            histogram256_lane_grouped(tiles[s : s + 768])
+            for s in range(0, n, 768)
+        ]
+        return jnp.concatenate(pieces, axis=0)
+
+    flat = tiles.reshape(n, -1)
+    pad_px = (-flat.shape[1]) % (128 * _CHUNK)
+    if pad_px:
+        flat = jnp.pad(flat, ((0, 0), (0, pad_px)))
+    pad_tiles = (-n) % 8
+    if pad_tiles:
+        flat = jnp.pad(flat, ((0, pad_tiles), (0, 0)))
+    ng = flat.shape[0] // 8
+    r = flat.shape[1] // 128
+    work = (
+        flat.reshape(ng, 8, r, 128)
+        .transpose(0, 2, 1, 3)
+        .reshape(ng, r, 1024)
+    )
+    rows = max(_CHUNK, (min(r, 512) // _CHUNK) * _CHUNK)
+    if r % rows:
+        extra = rows - (r % rows)
+        work = jnp.pad(work, ((0, 0), (0, extra), (0, 0)))
+        pad_px += extra * 128  # per tile: each pad row adds 128 zeros
+        r += extra
+    nsteps = r // rows
+    nchunks = rows // _CHUNK
+    depth = _hist_depth(nsteps * nchunks)
+
+    def kernel(img_ref, out_ref, acc_ref):
+        g = pl.program_id(0)
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        _hist_kernel_body(
+            img_ref[0].astype(jnp.int32), acc_ref, depth, nchunks
+        )
+
+        @pl.when(step == nsteps - 1)
+        def _decode():
+            _hist_decode_grouped(out_ref, acc_ref, depth, g)
+
+    counts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ng * 8, 256), jnp.int32),
+        grid=(ng, nsteps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, 1024),
+                lambda g, i: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((8 * depth, _CHUNK, 1024), jnp.int32)],
+    )(work)
+    counts = counts[:n]
+    if pad_px:
+        counts = counts.at[:, 0].add(-pad_px)
+    return counts
+
+
 def histogram256(img):
     """(256,) int32 level counts for a uint8 image — CSA bitslice."""
 
