@@ -118,17 +118,24 @@ def test_batched_run_matches(gray):
 
 def test_histogram256_lane_grouped_parity():
     """Grouped CSA (8 tiles per vreg row) must bincount-match for odd tile
-    counts and non-aligned pixel counts (pad-correction paths)."""
+    counts and non-aligned pixel counts — run through the ACTUAL kernel in
+    interpreter mode so the pad_px / pad_tiles / row-padding corrections
+    are exercised (the CPU fallback would otherwise bypass them)."""
 
     import jax.numpy as jnp
 
     from yamimageprocessor_tpu.pallas_kernels import histogram256_lane_grouped
 
     rng = np.random.default_rng(21)
-    for n, px in ((3, 1024), (8, 2048), (11, 1000), (16, 65536)):
+    for n, px in ((3, 1024), (8, 2048), (11, 1000), (16, 8192), (9, 12345)):
         tiles = rng.integers(0, 256, (n, px), dtype=np.uint8)
-        got = np.asarray(histogram256_lane_grouped(jnp.asarray(tiles)))
+        got = np.asarray(
+            histogram256_lane_grouped(jnp.asarray(tiles), interpret=True)
+        )
         want = np.stack(
             [np.bincount(tiles[i], minlength=256) for i in range(n)]
         )
         assert (got == want).all(), (n, px)
+        # the production non-interpret entry (CPU fallback off-TPU)
+        fb = np.asarray(histogram256_lane_grouped(jnp.asarray(tiles)))
+        assert (fb == want).all(), (n, px)

@@ -105,56 +105,46 @@ def _renumber(lab, sentinel, h: int, w: int):
     return out.reshape(h, w).astype(jnp.int32)
 
 
-_cc_pallas_vmap = None
-_propagate_vmap = None
+_batchable_cache: dict = {}
+
+
+def _batchable(name: str):
+    """vmap-safe wrapper around a single-frame pallas entry point
+    (pallas calls have no batching rule; batched inputs map frame by
+    frame) — one shared factory for the CC solver and the rank spreader."""
+
+    hit = _batchable_cache.get(name)
+    if hit is not None:
+        return hit
+
+    import jax
+
+    from yamimageprocessor_tpu.ops import labeling_pallas
+
+    fn = getattr(labeling_pallas, name)
+
+    @jax.custom_batching.custom_vmap
+    def one(arr):
+        return fn(arr)
+
+    @one.def_vmap
+    def _rule(axis_size, in_batched, arr):  # noqa: ANN001
+        import jax.numpy as jnp
+
+        if not in_batched[0]:
+            arr = jnp.broadcast_to(arr[None], (axis_size,) + arr.shape)
+        return jax.lax.map(one, arr), True
+
+    _batchable_cache[name] = one
+    return one
 
 
 def _cc_pallas_batchable():
-    global _cc_pallas_vmap
-    if _cc_pallas_vmap is None:
-        import jax
-
-        from yamimageprocessor_tpu.ops.labeling_pallas import cc_pallas
-
-        @jax.custom_batching.custom_vmap
-        def one(fg):
-            return cc_pallas(fg)
-
-        @one.def_vmap
-        def _rule(axis_size, in_batched, fg):  # noqa: ANN001
-            import jax.numpy as jnp
-
-            if not in_batched[0]:
-                fg = jnp.broadcast_to(fg[None], (axis_size,) + fg.shape)
-            return jax.lax.map(one, fg), True
-
-        _cc_pallas_vmap = one
-    return _cc_pallas_vmap
+    return _batchable("cc_pallas")
 
 
 def _propagate_batchable():
-    global _propagate_vmap
-    if _propagate_vmap is None:
-        import jax
-
-        from yamimageprocessor_tpu.ops.labeling_pallas import propagate_pallas
-
-        @jax.custom_batching.custom_vmap
-        def one(field):
-            return propagate_pallas(field)
-
-        @one.def_vmap
-        def _rule(axis_size, in_batched, field):  # noqa: ANN001
-            import jax.numpy as jnp
-
-            if not in_batched[0]:
-                field = jnp.broadcast_to(
-                    field[None], (axis_size,) + field.shape
-                )
-            return jax.lax.map(one, field), True
-
-        _propagate_vmap = one
-    return _propagate_vmap
+    return _batchable("propagate_pallas")
 
 
 def _rank_spread(lab, fg, h: int, w: int):
@@ -201,7 +191,10 @@ def label_j(fg, max_iters: int = 0):
 
     h, w = fg.shape
 
-    if jax.default_backend() == "tpu":
+    # an EXPLICIT iteration cap asks for possibly-unconverged output; the
+    # Pallas solver always runs to the fixed point, so honoring the cap
+    # means taking the XLA loop (keeps CPU/TPU semantics identical)
+    if max_iters <= 0 and jax.default_backend() == "tpu":
         from yamimageprocessor_tpu.ops.labeling_pallas import cc_fits
 
         if cc_fits(w):

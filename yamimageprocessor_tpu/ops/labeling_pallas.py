@@ -209,13 +209,7 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
         interpret=interpret,
     )
 
-    def _dilate1(flags):
-        z = jnp.zeros((1,), flags.dtype)
-        return (
-            flags
-            | jnp.concatenate([flags[1:], z])
-            | jnp.concatenate([z, flags[:-1]])
-        )
+    from yamimageprocessor_tpu.pallas_kernels import dilate1_flags
 
     def run(lab_pad):
         def cond(state):
@@ -224,7 +218,7 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
 
         def body(state):
             lab, changed, parity = state
-            active = _dilate1(changed)
+            active = dilate1_flags(changed)
             lab, new_changed = cc_pass(
                 active.astype(jnp.int32), parity[None], lab
             )
@@ -273,7 +267,8 @@ def propagate_pallas(field, *, block_rows: int = 0, rounds: int = 64,
 
     wp = -(-w // 128) * 128
     block = block_rows if block_rows > 0 else _auto_block(wp)
-    block = max(8, min(block, 256))
+    # Mosaic DMA row alignment: window starts/shapes must be 8-multiples
+    block = -(-max(8, min(block, 256)) // 8) * 8
     hp = -(-h // block) * block
 
     lab0 = jnp.pad(
@@ -286,12 +281,19 @@ def propagate_pallas(field, *, block_rows: int = 0, rounds: int = 64,
     return lab[8 : 8 + h, :w]
 
 
-def _auto_block(wp: int) -> int:
-    """Largest power-of-two block whose working set (~10 live (block+16,
-    wp) int32 planes: window + out scratch + scan temporaries) fits a
-    13 MiB scoped-VMEM budget."""
+def _block_cap(wp: int) -> int:
+    """Max block rows whose working set (~10 live (block+16, wp) int32
+    planes: window + out scratch + scan temporaries) fits a 13 MiB
+    scoped-VMEM budget — the SINGLE source of truth for both the geometry
+    chooser and the path gate."""
 
-    cap = (13 << 20) // (40 * wp) - 16
+    return (13 << 20) // (40 * wp) - 16
+
+
+def _auto_block(wp: int) -> int:
+    """Largest power-of-two block within :func:`_block_cap`."""
+
+    cap = _block_cap(wp)
     block = 8
     while block * 2 <= min(cap, 256):
         block *= 2
@@ -303,7 +305,7 @@ def cc_fits(width: int) -> bool:
     at this frame width; wider frames take the XLA label loop."""
 
     wp = -(-int(width) // 128) * 128
-    return (13 << 20) // (40 * wp) - 16 >= 8
+    return _block_cap(wp) >= 8
 
 
 __all__ = ["cc_pallas", "propagate_pallas", "cc_fits", "SENTINEL"]

@@ -246,29 +246,22 @@ def _build_flood(
         **kwargs,
     )
 
+    from yamimageprocessor_tpu.pallas_kernels import dilate1_flags
+
     def run(lab_pad, spare, packed):
         def cond(state):
             _, _, level, _, frontier, unknown, _ = state
             return (level < 256) & (jnp.sum(unknown) > 0)
 
-        def _dilate1(flags):
-            """Activate vertical block neighbors too: within one pass,
-            influence travels <= k rows, i.e. at most one block over —
-            both the changed-blocks term and the frontier term need the
-            dilation (a neighbor's newly labeled pixels can trigger a block
-            whose own frontier is above the level)."""
-
-            z = jnp.zeros((1,), flags.dtype)
-            return (
-                flags
-                | jnp.concatenate([flags[1:], z])
-                | jnp.concatenate([z, flags[:-1]])
-            )
-
         def body(state):
             cur, other, level, changed, frontier, unknown, jumped = state
             woken = jumped & (frontier <= level)
-            active = (_dilate1(changed) > 0) | _dilate1(woken)
+            # activate vertical block neighbors too: within one pass,
+            # influence travels <= k rows, i.e. at most one block over —
+            # both the changed-blocks term and the frontier term need the
+            # dilation (a neighbor's newly labeled pixels can trigger a
+            # block whose own frontier is above the level)
+            active = (dilate1_flags(changed) > 0) | dilate1_flags(woken)
             if force_active:  # debug/validation mode: no block skipping
                 active = jnp.ones((nb,), bool)
             new_lab, new_changed, new_frontier, new_unknown = flood_pass(

@@ -284,6 +284,21 @@ def _hist_decode(out_ref, acc_ref, depth: int, row_fn):
         jax.lax.fori_loop(0, 32, body, 0)
 
 
+def dilate1_flags(flags):
+    """Per-block activation dilation shared by the flood and CC kernels:
+    a changed block wakes itself and both vertical neighbors (influence
+    travels at most one block per pass).  Both kernels' skip-inactive
+    soundness arguments reference THIS function."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((1,), flags.dtype)
+    return (
+        flags
+        | jnp.concatenate([flags[1:], z])
+        | jnp.concatenate([z, flags[:-1]])
+    )
+
+
 def _hist_depth(total_chunks: int) -> int:
     # +1 headroom so the final ripple carry never overflows the planes
     return max(6, math.ceil(math.log2(total_chunks + 1)) + 1)
@@ -313,7 +328,7 @@ def _hist_decode_grouped(out_ref, acc_ref, depth: int, g):
         jax.lax.fori_loop(0, 32, body, 0)
 
 
-def histogram256_lane_grouped(tiles):
+def histogram256_lane_grouped(tiles, *, interpret: bool = False):
     """(N, ...) uint8 -> (N, 256) int32 histograms for MANY SMALL tiles:
     8 tiles share each vreg row (tile t of a group owns lanes
     [128t, 128(t+1))), so the decode's per-bin bit-plane extraction — the
@@ -324,7 +339,7 @@ def histogram256_lane_grouped(tiles):
     import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         from yamimageprocessor_tpu.ops.lutops import histogram256_j
 
         return jax.vmap(histogram256_j)(tiles.reshape(tiles.shape[0], -1))
@@ -336,7 +351,7 @@ def histogram256_lane_grouped(tiles):
     if n > 768:
         # whole-array SMEM output: stay under the 1 MiB space per call
         pieces = [
-            histogram256_lane_grouped(tiles[s : s + 768])
+            histogram256_lane_grouped(tiles[s : s + 768], interpret=interpret)
             for s in range(0, n, 768)
         ]
         return jnp.concatenate(pieces, axis=0)
@@ -394,6 +409,7 @@ def histogram256_lane_grouped(tiles):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((8 * depth, _CHUNK, 1024), jnp.int32)],
+        interpret=interpret,
     )(work)
     counts = counts[:n]
     if pad_px:
