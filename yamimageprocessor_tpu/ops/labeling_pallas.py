@@ -119,6 +119,10 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
                 m = jnp.minimum(m, s)
         return jnp.where(fg, m, jnp.int32(sent))
 
+    # rounds cap: percolation-like masks (55% noise) measured 20% faster
+    # at 128 than 64 (the cap binds and forces extra global passes);
+    # blob-like masks converge in a few rounds so the early exit makes a
+    # high cap free for them
     def kernel(active_ref, dir_ref, lab_hbm, out_hbm, changed_ref,
                lab_s, out_s, sems):
         gi = pl.program_id(0)
@@ -232,7 +236,7 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
     return run
 
 
-def cc_pallas(fg, *, block_rows: int = 0, rounds: int = 64,
+def cc_pallas(fg, *, block_rows: int = 0, rounds: int = 128,
               interpret: bool = False):
     """Converged min-flat-index label field for boolean ``fg`` (H, W):
     foreground pixels carry their component's minimum flat index, background
@@ -250,7 +254,7 @@ def cc_pallas(fg, *, block_rows: int = 0, rounds: int = 64,
     )
 
 
-def propagate_pallas(field, *, block_rows: int = 0, rounds: int = 64,
+def propagate_pallas(field, *, block_rows: int = 0, rounds: int = 128,
                      interpret: bool = False):
     """Min-propagate ``field`` (H, W) int32 within 8-connected foreground
     regions: pixels equal to :data:`SENTINEL` are background (propagation
