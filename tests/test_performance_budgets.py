@@ -134,7 +134,10 @@ def test_tpu_watershed_4096_budget():
     out = run(dev)
     jax.block_until_ready(out)
     elapsed = time.monotonic() - start
-    assert elapsed < 2.3, f"4096^2 segmentation chain took {elapsed:.2f}s"
+    # round-3 measured 0.064-0.084 s; 0.8 keeps ~10x headroom for relay
+    # variance while still catching any regression back toward the old
+    # 0.30 s (round 2) or the 2.3 s BASELINE budget
+    assert elapsed < 0.8, f"4096^2 segmentation chain took {elapsed:.2f}s"
 
 
 def test_tpu_segmentation_2048_fps_budget():
@@ -162,7 +165,9 @@ def test_tpu_segmentation_2048_fps_budget():
     outs = [run(dev) for _ in range(reps)]
     jax.block_until_ready(outs)
     elapsed = time.monotonic() - start
-    assert reps / elapsed > 3.0, f"{reps / elapsed:.2f} fps"
+    # round-3 measured 43-52 fps; 15 keeps ~3x headroom for relay variance
+    # while catching a regression to round-2 performance (17.5 fps)
+    assert reps / elapsed > 15.0, f"{reps / elapsed:.2f} fps"
 
 
 def test_tpu_extraction_budget():
