@@ -232,6 +232,44 @@ def test_region_tables_batched_matches_single():
         np.testing.assert_array_equal(t["solidity"], golden)
 
 
+def test_region_tables_batched_mixed_shapes_and_saturation():
+    """Stacked batching must fall back per-frame on ragged shapes, and the
+    saturation retry must work when triggered from inside a stacked batch."""
+
+    rng = np.random.default_rng(7)
+
+    def grid_frame(side: int, n: int) -> np.ndarray:
+        img = np.zeros((side, side), np.uint8)
+        pitch = max(side // n, 10)
+        k = 0
+        for r in range(3, side - 7, pitch):
+            for c in range(3, side - 7, pitch):
+                if k >= n * n:
+                    break
+                img[r : r + 4, c : c + 4] = 180 + int(rng.integers(0, 40))
+                k += 1
+        return np.repeat(img[..., None], 3, axis=-1)
+
+    # two same-shape frames, one of which exceeds the 64-region fast tier
+    dense = grid_frame(140, 10)  # 100 regions -> tier retry
+    sparse = grid_frame(140, 3)
+    tables = XD.region_tables_device([dense, sparse])
+    for f, t in zip((dense, sparse), tables):
+        assert not t.get("saturated")
+        golden, labels, meas = _solidity_golden(f)
+        assert t["meas"].count == meas.count
+        np.testing.assert_array_equal(t["solidity"], golden)
+        np.testing.assert_array_equal(t["meas"].area, meas.area)
+
+    # ragged shapes -> per-frame fallback, same results
+    other = grid_frame(96, 3)
+    ragged = XD.region_tables_device([sparse, other])
+    for f, t in zip((sparse, other), ragged):
+        golden, labels, meas = _solidity_golden(f)
+        assert t["meas"].count == meas.count
+        np.testing.assert_array_equal(t["solidity"], golden)
+
+
 def test_fourier_device_matches_fft(scene):
     """Device DFT (masked matmuls, mod-n angle reduction) vs the f64 FFT
     golden: coefficients and reconstruction (VERDICT r2 missing #3)."""

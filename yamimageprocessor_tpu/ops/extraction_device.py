@@ -11,7 +11,7 @@ meaningless — the parity surface is the FEATURES, asserted in
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -474,6 +474,29 @@ def _jitted_region_packed(max_regions: int = MAX_REGIONS):
     return fn
 
 
+_region_packed_batch_jits: Dict[int, object] = {}
+
+
+def _jitted_region_packed_batch(max_regions: int = MAX_REGIONS):
+    """vmapped twin of :func:`_jitted_region_packed` over a frame stack:
+    ONE H2D upload and ONE dispatch for the whole batch (the labeling
+    kernels carry custom_vmap rules, so the stack maps cleanly).  Per-call
+    link latency dominates mass extraction on high-latency hosts — eight
+    1 MiB uploads cost ~8 sync latencies, one 8 MiB upload costs one."""
+
+    fn = _region_packed_batch_jits.get(max_regions)
+    if fn is None:
+        import functools
+
+        import jax
+
+        fn = jax.jit(
+            jax.vmap(functools.partial(region_packed_j, max_regions=max_regions))
+        )
+        _region_packed_batch_jits[max_regions] = fn
+    return fn
+
+
 def _finalize_region_table(
     bundle: np.ndarray,
     labels_dev,
@@ -555,24 +578,34 @@ def region_tables_device(frames) -> list:
     grays = [
         C.bgr_to_gray_np(f) if getattr(f, "ndim", 2) == 3 else f for f in frames
     ]
-    fast = _jitted_region_packed(FAST_REGIONS)
-    outs = [fast(f) for f in grays]  # async dispatch, no blocking
-    # ONE stacked transfer for the whole batch: per-bundle device_get pays
-    # the relay round trip N times; the on-device stack pays it once
-    fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
+
+    def run_tier(idx: List[int], capacity: int):
+        """(labels_i, bundle_np_i) per index — stacked single-upload when
+        every frame shares a shape, per-frame async dispatch otherwise."""
+
+        if len(idx) > 1 and len({grays[i].shape for i in idx}) == 1:
+            stack = np.stack([grays[i] for i in idx])
+            labels_b, bundles_b = _jitted_region_packed_batch(capacity)(stack)
+            fetched = np.asarray(bundles_b)
+            return [(labels_b[k], fetched[k]) for k in range(len(idx))]
+        fn = _jitted_region_packed(capacity)
+        outs = [fn(grays[i]) for i in idx]  # async dispatch, no blocking
+        # ONE stacked transfer for the batch: per-bundle device_get pays
+        # the relay round trip N times; the on-device stack pays it once
+        fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
+        return [(outs[k][0], fetched[k]) for k in range(len(idx))]
+
+    first = run_tier(list(range(len(grays))), FAST_REGIONS)
     tables = [
-        _finalize_region_table(fetched[i], outs[i][0], FAST_REGIONS)
-        for i in range(len(outs))
+        _finalize_region_table(bundle, labels, FAST_REGIONS)
+        for labels, bundle in first
     ]
     retry = [i for i, t in enumerate(tables) if t.get("saturated")]
     if retry:
-        full = _jitted_region_packed(MAX_REGIONS)
-        outs2 = [full(grays[i]) for i in retry]
-        fetched2 = np.asarray(jnp.stack([b for (_, b) in outs2]))
-        for k in range(len(outs2)):
-            tables[retry[k]] = _finalize_region_table(
-                fetched2[k], outs2[k][0], MAX_REGIONS
-            )
+        second = run_tier(retry, MAX_REGIONS)
+        for k, i in enumerate(retry):
+            labels, bundle = second[k]
+            tables[i] = _finalize_region_table(bundle, labels, MAX_REGIONS)
     return tables
 
 
