@@ -438,3 +438,160 @@ def test_device_sink_honored_on_every_device_path(shape, steps_kind):
     assert host_tiles == []  # device paths must not double-emit
     dense = PipelineManager(steps).apply(array)
     assert out is not None and (out == np.asarray(dense)).all()
+
+
+def _global_chain(beta=4.0):
+    return [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        ),
+        PipelineStep(
+            name="histogram_equalization",
+            op_id="preprocessing.histogram_equalization",
+            stage=Stage.PREPROCESSING,
+            params={},
+        ),
+        PipelineStep(
+            name="BrightnessContrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.0, "beta": beta},
+        ),
+    ]
+
+
+def test_source_stack_cache_warm_rerun_skips_reads():
+    """Cross-call device-resident source cache: a re-run over the same
+    source content (token) and tile geometry performs ZERO source reads and
+    still matches dense bit-for-bit — the TPU analogue of the reference's
+    content-addressed source memoization
+    (processing/pipeline_cache.py:256-282)."""
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(96, 128)
+
+    class _TokenRecord(_SyntheticStreamingRecord):
+        token = ("test-source", 1)
+
+        def cache_token(self):
+            return self.token
+
+    clear_source_stack_cache()
+    try:
+        rec1 = _TokenRecord(array)
+        out1 = np.zeros_like(array)
+
+        def paste(buf):
+            def on_tile(box, tile):
+                left, top, right, bottom = box
+                buf[top:bottom, left:right] = tile
+
+            return on_tile
+
+        stream_steps_tiled(_global_chain(), rec1, paste(out1), tile_size=(32, 32))
+        assert len(rec1.read_boxes) > 0
+        dense = PipelineManager(_global_chain()).apply_host(array)
+        assert (out1 == dense).all()
+
+        # warm re-run: fresh record object, same token -> no reads at all
+        rec2 = _TokenRecord(array)
+        out2 = np.zeros_like(array)
+        stream_steps_tiled(_global_chain(), rec2, paste(out2), tile_size=(32, 32))
+        assert rec2.read_boxes == []
+        assert (out2 == out1).all()
+
+        # parameter tweak (same chain shape/halo): still zero reads, and the
+        # result matches the dense chain with the NEW parameters
+        rec3 = _TokenRecord(array)
+        out3 = np.zeros_like(array)
+        stream_steps_tiled(
+            _global_chain(beta=40.0), rec3, paste(out3), tile_size=(32, 32)
+        )
+        assert rec3.read_boxes == []
+        dense3 = PipelineManager(_global_chain(beta=40.0)).apply_host(array)
+        assert (out3 == dense3).all()
+
+        # content change -> new token -> the cache must miss
+        changed = (array.astype(np.int16) + 1).clip(0, 255).astype(np.uint8)
+        rec4 = _TokenRecord(changed)
+        rec4.token = ("test-source", 2)
+        out4 = np.zeros_like(array)
+        stream_steps_tiled(_global_chain(), rec4, paste(out4), tile_size=(32, 32))
+        assert len(rec4.read_boxes) > 0
+        dense4 = PipelineManager(_global_chain()).apply_host(changed)
+        assert (out4 == dense4).all()
+
+        # tokenless sources are never cached (mutable arrays stay safe)
+        rec5 = _SyntheticStreamingRecord(array)
+        stream_steps_tiled(_global_chain(), rec5, paste(out2), tile_size=(32, 32))
+        rec6 = _SyntheticStreamingRecord(array)
+        stream_steps_tiled(_global_chain(), rec6, paste(out2), tile_size=(32, 32))
+        assert len(rec6.read_boxes) > 0
+    finally:
+        clear_source_stack_cache()
+
+
+def test_source_stack_cache_budget_eviction():
+    """The cache is LRU-bounded by bytes: shrinking the budget below one
+    source's stacks disables caching for it (and eviction never corrupts
+    results)."""
+
+    from yamimageprocessor_tpu.parallel import tiling as T
+
+    array = _frame(96, 128)
+
+    class _TokenRecord(_SyntheticStreamingRecord):
+        def cache_token(self):
+            return ("budget-source", 1)
+
+    T.clear_source_stack_cache()
+    old_budget = T._SOURCE_STACK_CACHE.budget
+    T._SOURCE_STACK_CACHE.budget = 1  # nothing fits
+    try:
+        rec1 = _TokenRecord(array)
+        out = np.zeros_like(array)
+
+        def on_tile(box, tile):
+            left, top, right, bottom = box
+            out[top:bottom, left:right] = tile
+
+        T.stream_steps_tiled(_global_chain(), rec1, on_tile, tile_size=(32, 32))
+        rec2 = _TokenRecord(array)
+        T.stream_steps_tiled(_global_chain(), rec2, on_tile, tile_size=(32, 32))
+        assert len(rec2.read_boxes) > 0  # nothing was cached
+        dense = PipelineManager(_global_chain()).apply_host(array)
+        assert (out == dense).all()
+    finally:
+        T._SOURCE_STACK_CACHE.budget = old_budget
+        T.clear_source_stack_cache()
+
+
+def test_tiled_record_cache_token_tracks_file_changes(tmp_path):
+    """File-backed records derive their token from (path, mtime, size) so a
+    rewritten file invalidates cached device stacks."""
+
+    import os
+
+    from yamimageprocessor_tpu.io.tiled_image import TiledImageRecord
+    from yamimageprocessor_tpu.pipeline.tiled_records import TiledPipelineImage
+
+    path = tmp_path / "frame.npy"
+    np.save(path, _frame(64, 64))
+    memmap = np.load(path, mmap_mode="r")
+    rec = TiledImageRecord.from_npy(path, metadata={}, memmap=memmap)
+    tok1 = rec.cache_token()
+    assert tok1 is not None
+    assert TiledPipelineImage(rec).cache_token() == tok1
+
+    np.save(path, _frame(64, 64) + 1)
+    os.utime(path, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    tok2 = rec.cache_token()
+    assert tok2 != tok1
+
+    # plain wrapped objects without tokens stay tokenless
+    assert TiledPipelineImage(object()).cache_token() is None

@@ -135,6 +135,23 @@ class TiledImageRecord:
         for box in iter_tile_boxes(width, height, tile_size):
             yield box, self.read_region(box)
 
+    def cache_token(self):
+        """Content token for the device-resident streaming source cache
+        (parallel/tiling.py): changes whenever the backing file changes.
+        The TPU analogue of the reference's content-addressed source ids
+        (``processing/pipeline_cache.py:256-282``)."""
+
+        try:
+            stat = self.path.stat()
+        except OSError:
+            return None
+        return (
+            "tiled-image",
+            str(self.path.resolve()),
+            stat.st_mtime_ns,
+            stat.st_size,
+        )
+
     def _dims(self) -> Tuple[int, int]:
         if self.size is not None:
             return self.size

@@ -457,6 +457,93 @@ def _stream_with_stats(
 # device-resident source cache budget for multi-pass streaming (bytes)
 _DEVICE_CACHE_BYTES = 2 << 30
 
+
+# ---------------------------------------------------------------------------
+# Cross-call source-stack cache.
+#
+# The reference memoizes by CONTENT at the source level (PipelineCache
+# ``register_source`` hashes the pixels, processing/pipeline_cache.py:256-282)
+# so that re-running a tweaked chain on the same image replays cached work.
+# The TPU analogue of that hot path (SURVEY §3.2: edit a parameter, re-run)
+# is dominated by host->HBM uploads on slow links, so the uploaded halo-window
+# stacks are kept DEVICE-RESIDENT across streaming calls, keyed by a source
+# content token + tile geometry.  A warm re-run then streams at chain-compute
+# rate with ZERO source reads.
+#
+# Sources opt in by exposing ``cache_token()`` returning a hashable token
+# that changes whenever the underlying pixels change (file-backed records
+# use (path, mtime_ns, size)); sources without a token are never cached, so
+# mutable in-memory arrays stay safe by default.
+class _SourceStackCache:
+    def __init__(self, budget_bytes: int) -> None:
+        self.budget = budget_bytes
+        self._entries: "dict[tuple, Tuple[int, List[Any]]]" = {}
+        self._order: List[tuple] = []
+
+    def get(self, key: tuple) -> Optional[List[Any]]:
+        hit = self._entries.get(key)
+        if hit is None:
+            return None
+        self._order.remove(key)
+        self._order.append(key)
+        return hit[1]
+
+    def put(self, key: tuple, nbytes: int, stacks: List[Any]) -> None:
+        if nbytes > self.budget:
+            return
+        if key in self._entries:
+            self._order.remove(key)
+        self._entries[key] = (nbytes, stacks)
+        self._order.append(key)
+        used = sum(n for n, _ in self._entries.values())
+        while used > self.budget and len(self._order) > 1:
+            victim = self._order.pop(0)
+            used -= self._entries.pop(victim)[0]
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._order.clear()
+
+
+def _source_cache_budget() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("YAM_STREAM_SOURCE_CACHE_BYTES", _DEVICE_CACHE_BYTES)
+        )
+    except ValueError:
+        return _DEVICE_CACHE_BYTES
+
+
+_SOURCE_STACK_CACHE = _SourceStackCache(_source_cache_budget())
+
+
+def clear_source_stack_cache() -> None:
+    """Drop every device-resident source stack (frees HBM)."""
+
+    _SOURCE_STACK_CACHE.clear()
+
+
+def _cache_token(image: Any):
+    fn = getattr(image, "cache_token", None)
+    if not callable(fn):
+        return None
+    try:
+        return fn()
+    except Exception:  # noqa: BLE001 — a broken token means "don't cache"
+        return None
+
+
+def _mesh_key(mesh: Any):
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+
 # jitted executables per (chain plan, geometry): a fresh jax.jit wrapper
 # per stream call would re-lower and re-request compilation every run.
 # Bounded LRU: plan keys embed dynamic-parameter bytes, so an interactive
@@ -655,9 +742,25 @@ def _stream_uniform(
             jnp.asarray(tb),
         )
 
-    probe = np.asarray(image.read_region(windows[0]))
-    total_bytes = probe.nbytes * len(boxes)
-    cache: List[Any] = []
+    # cross-call reuse: a warm re-run of the same source (content token) and
+    # tile geometry skips every read_region + upload and streams at chain
+    # compute rate — the TPU form of the reference's content-addressed
+    # source memoization (processing/pipeline_cache.py:256-282)
+    token = _cache_token(image)
+    source_key = (
+        None
+        if token is None
+        else (token, ew, eh, tw, th, width, height, _mesh_key(mesh))
+    )
+    warm = (
+        _SOURCE_STACK_CACHE.get(source_key) if source_key is not None else None
+    )
+    cache: List[Any] = list(warm) if warm is not None else []
+    if warm is not None:
+        total_bytes = sum(int(entry[0].nbytes) for entry in cache)
+    else:
+        probe = np.asarray(image.read_region(windows[0]))
+        total_bytes = probe.nbytes * len(boxes)
 
     def stacks():
         if cache:
@@ -704,6 +807,14 @@ def _stream_uniform(
         drain(_INFLIGHT)
     drain(0)
 
+    if (
+        warm is None
+        and source_key is not None
+        and len(cache) == len(batches)
+        and total_bytes <= _DEVICE_CACHE_BYTES
+    ):
+        _SOURCE_STACK_CACHE.put(source_key, total_bytes, list(cache))
+
 
 def apply_steps_tiled(
     steps: Sequence[Any],
@@ -737,6 +848,7 @@ __all__ = [
     "chain_halo",
     "chain_tileable",
     "chain_streamable",
+    "clear_source_stack_cache",
     "stream_steps_tiled",
     "apply_steps_tiled",
 ]

@@ -66,5 +66,12 @@ class TiledPipelineImage:
     def to_array(self) -> np.ndarray:
         return self._record.to_array()
 
+    def cache_token(self):
+        """Delegates to the wrapped record's source-content token (used by
+        the streaming runtime's device-resident stack cache)."""
+
+        fn = getattr(self._record, "cache_token", None)
+        return fn() if callable(fn) else None
+
 
 __all__ = ["TiledPipelineImage", "TileSize"]
