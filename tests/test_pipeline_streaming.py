@@ -595,3 +595,56 @@ def test_tiled_record_cache_token_tracks_file_changes(tmp_path):
 
     # plain wrapped objects without tokens stay tokenless
     assert TiledPipelineImage(object()).cache_token() is None
+
+
+def test_tileable_chain_uses_uniform_engine_and_cache():
+    """Pure tileable chains (no global-stats op) on exact grids route
+    through the batched uniform engine: same-shape halo windows, dense
+    bit-parity, and warm re-runs skip every source read."""
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(96, 128)
+
+    class _TokenRecord(_SyntheticStreamingRecord):
+        def cache_token(self):
+            return ("tileable-source", 1)
+
+    steps = [
+        PipelineStep(
+            name="NoiseReduction",
+            stage=Stage.PREPROCESSING,
+            params={"method": "Gaussian", "ksize": 5},
+        )
+    ]
+    clear_source_stack_cache()
+    try:
+        rec1 = _TokenRecord(array)
+        out = np.zeros_like(array)
+
+        def on_tile(box, tile):
+            left, top, right, bottom = box
+            out[top:bottom, left:right] = tile
+
+        stream_steps_tiled(steps, rec1, on_tile, tile_size=(32, 32))
+        # batched uniform engine: every read is the same-shape halo window
+        sizes = {(r - l, b - t) for (l, t, r, b) in rec1.read_boxes}
+        assert sizes == {(36, 36)}
+        dense = PipelineManager(steps).apply_host(array)
+        assert (out == dense).all()
+
+        rec2 = _TokenRecord(array)
+        out2 = np.zeros_like(array)
+
+        def on_tile2(box, tile):
+            left, top, right, bottom = box
+            out2[top:bottom, left:right] = tile
+
+        stream_steps_tiled(steps, rec2, on_tile2, tile_size=(32, 32))
+        assert rec2.read_boxes == []  # warm: zero source reads
+        assert (out2 == dense).all()
+    finally:
+        clear_source_stack_cache()

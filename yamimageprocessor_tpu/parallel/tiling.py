@@ -122,6 +122,32 @@ def _source_dims(image: Any) -> Tuple[int, int]:
     return int(shape[1]), int(shape[0])  # (width, height)
 
 
+def _uniform_candidate(
+    enabled: Sequence[Any],
+    image: Any,
+    tsize: Optional[Tuple[int, int]],
+    width: int,
+    height: int,
+) -> bool:
+    """True when the tile grid is exact and every halo window fits inside
+    the frame — the geometry `_stream_uniform` batches (mirrors its gate in
+    `_stream_with_stats`)."""
+
+    if tsize is None:
+        return False
+    tw, th = int(tsize[0]), int(tsize[1])
+    if tw <= 0 or th <= 0:
+        return False
+    halo = chain_halo(enabled)
+    return (
+        width % tw == 0
+        and height % th == 0
+        and (width // tw) * (height // th) > 1
+        and width >= tw + 2 * halo
+        and height >= th + 2 * halo
+    )
+
+
 def stream_steps_tiled(
     steps: Sequence[Any],
     image: Any,
@@ -207,6 +233,17 @@ def stream_steps_tiled(
         for box in iter_tile_boxes(out_w, out_h, tsize):
             left, top, right, bottom = box
             on_tile(box, result[top:bottom, left:right, ...])
+        return
+
+    # uniform exact grids route through the batched uniform engine even for
+    # pure tileable chains (no global ops): same-shape halo windows batch
+    # into fused stacked dispatches, and warm re-runs ride the
+    # device-resident source-stack cache — strictly fewer dispatches and
+    # zero re-uploads vs the generic per-tile loop below
+    if _uniform_candidate(enabled, image, tsize, width, height):
+        _stream_with_stats(
+            enabled, image, on_tile, tsize, mesh=mesh, device_sink=device_sink
+        )
         return
 
     import jax.numpy as jnp
