@@ -648,3 +648,95 @@ def test_tileable_chain_uses_uniform_engine_and_cache():
         assert (out2 == dense).all()
     finally:
         clear_source_stack_cache()
+
+
+@pytest.mark.parametrize("sink_mode", [False, True])
+def test_generic_path_nonexact_grid_batched(sink_mode):
+    """Non-exact tile grids (the generic streaming branch) batch same-shape
+    windows into grouped dispatches, read the source exactly ONCE across all
+    passes, match dense bit-for-bit, and honor the device-sink contract."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(100, 130)  # 100 % 32 != 0 -> generic branch
+    record = _SyntheticStreamingRecord(array)
+    steps = _global_chain()
+    clear_source_stack_cache()
+    try:
+        out = np.zeros_like(array)
+        boxes_seen = []
+
+        def on_tile(box, tile):
+            boxes_seen.append(tuple(box))
+            left, top, right, bottom = box
+            out[top:bottom, left:right] = tile
+
+        dev_out = np.zeros_like(array)
+
+        def sink(tile_boxes, dev_batch):
+            assert isinstance(dev_batch, jnp.ndarray)
+            batch = np.asarray(dev_batch)
+            for box, tile in zip(tile_boxes, batch):
+                left, top, right, bottom = box
+                dev_out[top:bottom, left:right] = tile
+
+        if sink_mode:
+            stream_steps_tiled(
+                steps, record, on_tile, tile_size=(32, 32), device_sink=sink
+            )
+            assert boxes_seen == []
+            result = dev_out
+        else:
+            stream_steps_tiled(steps, record, on_tile, tile_size=(32, 32))
+            assert boxes_seen == list(iter_tile_boxes(130, 100, (32, 32)))
+            result = out
+
+        dense = PipelineManager(steps).apply_host(array)
+        assert (result == dense).all()
+        # ONE read per tile across ALL passes (chain has 1 global op => the
+        # naive multi-pass form would read each tile twice)
+        n_tiles = len(list(iter_tile_boxes(130, 100, (32, 32))))
+        assert len(record.read_boxes) == n_tiles
+    finally:
+        clear_source_stack_cache()
+
+
+def test_generic_path_warm_rerun_skips_reads():
+    """The cross-call source-stack cache also covers the generic branch."""
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(100, 130)
+
+    class _TokenRecord(_SyntheticStreamingRecord):
+        def cache_token(self):
+            return ("generic-source", 1)
+
+    clear_source_stack_cache()
+    try:
+        outs = []
+        for _ in range(2):
+            rec = _TokenRecord(array)
+            out = np.zeros_like(array)
+
+            def on_tile(box, tile, _out=out):
+                left, top, right, bottom = box
+                _out[top:bottom, left:right] = tile
+
+            stream_steps_tiled(_global_chain(), rec, on_tile, tile_size=(32, 32))
+            outs.append((rec, out))
+        assert len(outs[0][0].read_boxes) > 0
+        assert outs[1][0].read_boxes == []  # warm: zero reads
+        dense = PipelineManager(_global_chain()).apply_host(array)
+        assert (outs[0][1] == dense).all()
+        assert (outs[1][1] == dense).all()
+    finally:
+        clear_source_stack_cache()

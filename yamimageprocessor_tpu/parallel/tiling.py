@@ -384,66 +384,156 @@ def _stream_with_stats(
 
     base_key = _plan_key(plans, frame_shape, -1, -1)
 
-    def make_runner(upto: int):
-        """Jitted ``fn(region, stats_list) -> region`` over steps[0:upto];
-        stats_list carries resolved stats for the global steps in order.
-        Cached across stream calls — a fresh jax.jit per call would
-        re-lower and recompile the chain every run (same rule as the
-        uniform path's executables)."""
+    # ---- generic (non-exact grid) path: tiles whose windows share a shape
+    # group into vmapped batch dispatches; every pass reads the SAME
+    # full-halo windows, so the source is read/uploaded once per call (and,
+    # with a source token, once per SESSION via the cross-call stack cache)
+    # instead of once per pass per tile.
+    def run_prefix(cur, stats_list, upto: int, region_box):
+        # region_box: traced (4,) int32 absolute coords of ``cur`` (the
+        # halo-expanded window) for position-aware global ops
+        si = 0
+        for i in range(upto):
+            impl, static, dyn, _ = plans[i]
+            dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+            if impl.global_stats:
+                cur = call_with_position(
+                    impl.apply_stats_fn,
+                    cur,
+                    stats_list[si],
+                    dyn_j,
+                    frame_shape=frame_shape,
+                    box=region_box,
+                    **static,
+                )
+                si += 1
+            else:
+                cur = impl.device_fn(cur, dyn_j, **static)
+        return cur
 
-        key = (base_key, "runner", upto)
+    halo_all = sum(p[3] for p in plans)
+    boxes = list(iter_tile_boxes(width, height, tsize))
+    eboxes = [_expand_box(b, halo_all, width, height) for b in boxes]
+
+    def box_shape(b: TileBox) -> Tuple[int, int]:
+        return (b[3] - b[1], b[2] - b[0])
+
+    # consecutive tiles with identical (window shape, tile shape) batch
+    # together — interior tiles form full batches, each edge kind its own
+    groups: List[Tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(boxes) + 1):
+        if (
+            i == len(boxes)
+            or i - start >= _TILE_BATCH
+            or box_shape(boxes[i]) != box_shape(boxes[start])
+            or box_shape(eboxes[i]) != box_shape(eboxes[start])
+        ):
+            groups.append((start, i))
+            start = i
+
+    token = _cache_token(image)
+    tkey = None if tsize is None else (int(tsize[0]), int(tsize[1]))
+    source_key = (
+        None
+        if token is None
+        else (token, "generic", tkey, halo_all, width, height)
+    )
+    warm = (
+        _SOURCE_STACK_CACHE.get(source_key) if source_key is not None else None
+    )
+    cache_list: List[Any] = list(warm) if warm is not None else []
+
+    def upload_group(a: int, b: int):
+        first = np.asarray(image.read_region(eboxes[a]))
+        regions = np.empty((b - a,) + first.shape, first.dtype)
+        regions[0] = first
+        for k in range(a + 1, b):
+            regions[k - a] = image.read_region(eboxes[k])
+        return (
+            jnp.asarray(regions),
+            jnp.asarray(np.asarray(boxes[a:b], np.int32)),
+            jnp.asarray(np.asarray(eboxes[a:b], np.int32)),
+        )
+
+    if warm is not None:
+        est_total = sum(int(s[0].nbytes) for s in cache_list)
+    else:
+        e0 = eboxes[0]
+        ch = frame_shape[2] if len(frame_shape) > 2 else 1
+        est_total = (
+            (e0[2] - e0[0])
+            * (e0[3] - e0[1])
+            * ch
+            * np.dtype(getattr(image, "dtype", None) or np.uint8).itemsize
+            * len(boxes)
+        )
+
+    def stacks_iter():
+        if cache_list:
+            yield from cache_list
+            return
+        keep = est_total <= _DEVICE_CACHE_BYTES
+        for a, b in groups:
+            entry = upload_group(a, b)
+            if keep:
+                cache_list.append(entry)
+            yield entry
+
+    def make_group_stats(g: int, region_shape, bshape, n: int):
+        key = (base_key, "gstats", g, tuple(region_shape), tuple(bshape), n)
+        hit = _UNIFORM_JIT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        impl_g, static_g, dyn_g, _ = plans[g]
+        bh, bw = bshape
+
+        @jax.jit
+        def fn(stack, bvec, evec, stats_list):
+            def one(region, box, ebox):
+                cur = run_prefix(region, stats_list, g, ebox)
+                y0 = box[1] - ebox[1]
+                x0 = box[0] - ebox[0]
+                center = jax.lax.dynamic_slice_in_dim(cur, y0, bh, 0)
+                center = jax.lax.dynamic_slice_in_dim(center, x0, bw, 1)
+                dyn_j = {k: jnp.asarray(v) for k, v in dyn_g.items()}
+                return call_with_position(
+                    impl_g.tile_stats_fn,
+                    center,
+                    dyn_j,
+                    frame_shape=frame_shape,
+                    box=box,
+                    **static_g,
+                )
+
+            import jax.tree_util as jtu
+
+            contribs = jax.vmap(one)(stack, bvec, evec)
+            acc = jtu.tree_map(lambda a_: a_[0], contribs)
+            for i in range(1, n):
+                acc = impl_g.merge_stats_fn(
+                    acc, jtu.tree_map(lambda a_, _i=i: a_[_i], contribs)
+                )
+            return acc
+
+        _UNIFORM_JIT_CACHE[key] = fn
+        return fn
+
+    def make_group_final(region_shape, n: int):
+        key = (base_key, "gfinal", tuple(region_shape), n)
         hit = _UNIFORM_JIT_CACHE.get(key)
         if hit is not None:
             return hit
 
         @jax.jit
-        def run(region, stats_list, region_box):
-            # region_box: traced (4,) int32 absolute coords of ``region``
-            # (the halo-expanded window) for position-aware global ops
-            cur = region
-            si = 0
-            for i in range(upto):
-                impl, static, dyn, _ = plans[i]
-                dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
-                if impl.global_stats:
-                    cur = call_with_position(
-                        impl.apply_stats_fn,
-                        cur,
-                        stats_list[si],
-                        dyn_j,
-                        frame_shape=frame_shape,
-                        box=region_box,
-                        **static,
-                    )
-                    si += 1
-                else:
-                    cur = impl.device_fn(cur, dyn_j, **static)
-            return cur
+        def fn(stack, evec, stats_list):
+            def one(region, ebox):
+                return run_prefix(region, stats_list, len(plans), ebox)
 
-        _UNIFORM_JIT_CACHE[key] = run
-        return run
+            return jax.vmap(one)(stack, evec)
 
-    def make_stats_fn(g: int):
-        key = (base_key, "stats", g)
-        hit = _UNIFORM_JIT_CACHE.get(key)
-        if hit is not None:
-            return hit
-        impl_g, static_g, dyn_g, _ = plans[g]
-        fn = jax.jit(
-            lambda center, center_box, _impl=impl_g, _st=static_g, _dy=dyn_g: call_with_position(
-                _impl.tile_stats_fn,
-                center,
-                {k: jnp.asarray(v) for k, v in _dy.items()},
-                frame_shape=frame_shape,
-                box=center_box,
-                **_st,
-            )
-        )
         _UNIFORM_JIT_CACHE[key] = fn
         return fn
-
-    def prefix_halo(upto: int) -> int:
-        return sum(plans[i][3] for i in range(upto))
 
     def crop_center(out, box: TileBox, ebox: TileBox):
         left, top, right, bottom = box
@@ -455,40 +545,62 @@ def _stream_with_stats(
     resolved: List[Any] = []
     for g in global_indices:
         impl_g = plans[g][0]
-        runner = make_runner(g)
-        halo = prefix_halo(g)
-        stats_fn = make_stats_fn(g)
         acc = None
-        for box in iter_tile_boxes(width, height, tsize):
-            ebox = _expand_box(box, halo, width, height)
-            region = jnp.asarray(np.asarray(image.read_region(ebox)))
-            out = runner(region, resolved[: len(resolved)], jnp.asarray(ebox, jnp.int32))
-            center = crop_center(out, box, ebox)
-            contrib = stats_fn(center, jnp.asarray(box, jnp.int32))
+        for (a, b), (stack, bvec, evec) in zip(groups, stacks_iter()):
+            fn = make_group_stats(
+                g, tuple(stack.shape[1:]), box_shape(boxes[a]), b - a
+            )
+            contrib = fn(stack, bvec, evec, resolved)
             acc = contrib if acc is None else impl_g.merge_stats_fn(acc, contrib)
         resolved.append(acc)
 
     # ---- final apply pass, streaming results in reference tile order
-    runner = make_runner(len(plans))
-    halo = prefix_halo(len(plans))
-    inflight: List[Tuple[TileBox, TileBox, Any]] = []
+    inflight: List[Tuple[int, int, Any]] = []
 
     def drain(limit: int) -> None:
         while len(inflight) > limit:
-            box, ebox, handle = inflight.pop(0)
-            on_tile(box, np.asarray(crop_center(TR.finish_fetch(handle), box, ebox)))
+            a, b, handle = inflight.pop(0)
+            out = TR.finish_fetch(handle)
+            for k in range(a, b):
+                on_tile(
+                    boxes[k],
+                    np.asarray(crop_center(out[k - a], boxes[k], eboxes[k])),
+                )
 
-    for box in iter_tile_boxes(width, height, tsize):
-        ebox = _expand_box(box, halo, width, height)
-        region = jnp.asarray(np.asarray(image.read_region(ebox)))
-        out = runner(region, resolved, jnp.asarray(ebox, jnp.int32))
+    for (a, b), (stack, bvec, evec) in zip(groups, stacks_iter()):
+        fn = make_group_final(tuple(stack.shape[1:]), b - a)
+        dev = fn(stack, evec, resolved)
         if device_sink is not None:
             # crop on device and hand over without any D2H
-            device_sink([box], crop_center(out, box, ebox)[None, ...])
+            for k in range(a, b):
+                left, top, right, bottom = boxes[k]
+                eleft, etop, _, _ = eboxes[k]
+                y0, x0 = top - etop, left - eleft
+                device_sink(
+                    [boxes[k]],
+                    dev[
+                        k - a,
+                        y0 : y0 + (bottom - top),
+                        x0 : x0 + (right - left),
+                        ...,
+                    ][None, ...],
+                )
             continue
-        inflight.append((box, ebox, TR.start_fetch(out)))
+        inflight.append((a, b, TR.start_fetch(dev)))
         drain(_INFLIGHT)
     drain(0)
+
+    if (
+        warm is None
+        and source_key is not None
+        and len(cache_list) == len(groups)
+        and sum(int(s[0].nbytes) for s in cache_list) <= _DEVICE_CACHE_BYTES
+    ):
+        _SOURCE_STACK_CACHE.put(
+            source_key,
+            sum(int(s[0].nbytes) for s in cache_list),
+            list(cache_list),
+        )
 
 
 # device-resident source cache budget for multi-pass streaming (bytes)
