@@ -740,3 +740,57 @@ def test_generic_path_warm_rerun_skips_reads():
         assert (outs[1][1] == dense).all()
     finally:
         clear_source_stack_cache()
+
+
+def test_dense_branch_caches_device_operand():
+    """Frame-coupled chains (watershed) materialize + upload once per
+    SOURCE: a warm re-run never calls ``to_array`` (the interactive
+    segmentation tweak-and-rerun case)."""
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(96, 128)
+    steps = [
+        PipelineStep(name="Otsu", stage=Stage.SEGMENTATION, params={}),
+        PipelineStep(
+            name="Watershed",
+            op_id="segmentation.watershed",
+            stage=Stage.SEGMENTATION,
+            params={},
+        ),
+    ]
+
+    class _TokenRecord(_SyntheticStreamingRecord):
+        def cache_token(self):
+            return ("dense-source", 1)
+
+    clear_source_stack_cache()
+    try:
+        rec1 = _TokenRecord(array, allow_materialize=True)
+        out1 = {}
+
+        def collect(store):
+            def on_tile(box, tile):
+                store[tuple(box)] = np.asarray(tile)
+
+            return on_tile
+
+        stream_steps_tiled(steps, rec1, collect(out1), tile_size=(32, 32))
+
+        # warm: to_array() raising proves the frame upload was reused
+        rec2 = _TokenRecord(array, allow_materialize=False)
+        out2 = {}
+        stream_steps_tiled(steps, rec2, collect(out2), tile_size=(32, 32))
+        assert out1.keys() == out2.keys() and len(out1) > 0
+        for k in out1:
+            np.testing.assert_array_equal(out1[k], out2[k])
+        dense = PipelineManager(steps).apply(array)
+        top_left = out1[(0, 0, 32, 32)]
+        np.testing.assert_array_equal(
+            top_left, np.asarray(dense)[:32, :32, ...]
+        )
+    finally:
+        clear_source_stack_cache()

@@ -196,17 +196,44 @@ def stream_steps_tiled(
             return
         # frame-coupled ops (watershed, labeling, clustering) genuinely
         # need the full frame: materialize once, run dense, re-emit in
-        # tile order so consumers still stream.
-        dense = np.asarray(
-            image.to_array() if hasattr(image, "to_array") else image
-        )
+        # tile order so consumers still stream.  The materialized frame's
+        # device upload is cached across calls by source token (the
+        # interactive tweak-and-rerun case for segmentation chains pays
+        # materialize+upload once per source, not once per preview).
         from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+        token = _cache_token(image)
+        dense_key = None if token is None else (token, "dense")
+        cached = (
+            _SOURCE_STACK_CACHE.get(dense_key) if dense_key is not None else None
+        )
+        dense: Optional[np.ndarray] = None
+        if cached is not None:
+            operand = cached[0]
+            op_shape, op_dtype = operand.shape, np.dtype(str(operand.dtype))
+        else:
+            dense = np.asarray(
+                image.to_array() if hasattr(image, "to_array") else image
+            )
+            operand, op_shape, op_dtype = dense, dense.shape, dense.dtype
 
         outs = None
         try:
-            outs = get_compiled_chain(enabled, dense.shape, dense.dtype).run(
-                dense, enabled
-            )
+            chain = get_compiled_chain(enabled, op_shape, op_dtype)
+            device_first = not (chain.plans and chain.plans[0].kind == "host")
+            if device_first and dense_key is not None and cached is None:
+                import jax.numpy as jnp  # noqa: F811 — local jax import rule
+
+                operand = jnp.asarray(dense)
+                _SOURCE_STACK_CACHE.put(dense_key, int(operand.nbytes), [operand])
+            elif not device_first and cached is not None:
+                # a host-op-led chain needs host pixels: fall back to the
+                # source rather than fetching the cached device frame
+                dense = np.asarray(
+                    image.to_array() if hasattr(image, "to_array") else image
+                )
+                operand = dense
+            outs = chain.run(operand, enabled)
         except Exception:
             LOGGER.exception("Dense compiled chain failed; host fallback")
         if outs is not None and device_sink is not None:
@@ -225,6 +252,10 @@ def stream_steps_tiled(
         if outs is not None:
             result = TR.fetch(outs[-1])
         else:
+            if dense is None:  # compiled path failed off a cached operand
+                dense = np.asarray(
+                    image.to_array() if hasattr(image, "to_array") else image
+                )
             result = dense.copy()
             for step in enabled:
                 result = step.apply(result)
