@@ -794,3 +794,38 @@ def test_dense_branch_caches_device_operand():
         )
     finally:
         clear_source_stack_cache()
+
+
+def test_unhashable_cache_token_disables_caching_gracefully():
+    """A cache_token() returning an unhashable value must disable caching,
+    not crash the stream (review finding r3)."""
+
+    from yamimageprocessor_tpu.parallel.tiling import (
+        clear_source_stack_cache,
+        stream_steps_tiled,
+    )
+
+    array = _frame(96, 128)
+
+    class _BadTokenRecord(_SyntheticStreamingRecord):
+        def cache_token(self):
+            return ["not", "hashable"]
+
+    clear_source_stack_cache()
+    try:
+        out = np.zeros_like(array)
+
+        def on_tile(box, tile):
+            left, top, right, bottom = box
+            out[top:bottom, left:right] = tile
+
+        rec = _BadTokenRecord(array)
+        stream_steps_tiled(_global_chain(), rec, on_tile, tile_size=(32, 32))
+        dense = PipelineManager(_global_chain()).apply_host(array)
+        assert (out == dense).all()
+
+        rec2 = _BadTokenRecord(array)
+        stream_steps_tiled(_global_chain(), rec2, on_tile, tile_size=(32, 32))
+        assert len(rec2.read_boxes) > 0  # nothing was cached
+    finally:
+        clear_source_stack_cache()

@@ -580,20 +580,34 @@ def region_tables_device(frames) -> list:
     ]
 
     def run_tier(idx: List[int], capacity: int):
-        """(labels_i, bundle_np_i) per index — stacked single-upload when
-        every frame shares a shape, per-frame async dispatch otherwise."""
+        """(labels_i, bundle_np_i) per index — frames GROUPED by shape so
+        each same-shape group ships as one stacked upload+dispatch (a lone
+        odd-shaped frame must not knock every other frame off the batch
+        path); singletons take the per-frame async route."""
 
-        if len(idx) > 1 and len({grays[i].shape for i in idx}) == 1:
-            stack = np.stack([grays[i] for i in idx])
+        by_shape: Dict[tuple, List[int]] = {}
+        for i in idx:
+            by_shape.setdefault(tuple(grays[i].shape), []).append(i)
+        out: Dict[int, tuple] = {}
+        singles: List[int] = []
+        for members in by_shape.values():
+            if len(members) == 1:
+                singles.append(members[0])
+                continue
+            stack = np.stack([grays[i] for i in members])
             labels_b, bundles_b = _jitted_region_packed_batch(capacity)(stack)
             fetched = np.asarray(bundles_b)
-            return [(labels_b[k], fetched[k]) for k in range(len(idx))]
-        fn = _jitted_region_packed(capacity)
-        outs = [fn(grays[i]) for i in idx]  # async dispatch, no blocking
-        # ONE stacked transfer for the batch: per-bundle device_get pays
-        # the relay round trip N times; the on-device stack pays it once
-        fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
-        return [(outs[k][0], fetched[k]) for k in range(len(idx))]
+            for k, i in enumerate(members):
+                out[i] = (labels_b[k], fetched[k])
+        if singles:
+            fn = _jitted_region_packed(capacity)
+            outs = [fn(grays[i]) for i in singles]  # async, no blocking
+            # ONE stacked transfer for the stragglers: per-bundle
+            # device_get pays the relay round trip N times over
+            fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
+            for k, i in enumerate(singles):
+                out[i] = (outs[k][0], fetched[k])
+        return [out[i] for i in idx]
 
     first = run_tier(list(range(len(grays))), FAST_REGIONS)
     tables = [

@@ -122,6 +122,24 @@ def _source_dims(image: Any) -> Tuple[int, int]:
     return int(shape[1]), int(shape[0])  # (width, height)
 
 
+def _exact_grid(width: int, height: int, tw: int, th: int, halo: int) -> bool:
+    """Shared uniform-grid gate: the tile grid divides the frame exactly
+    and every full-halo window fits inside it.  Both the routing check
+    (`_uniform_candidate`) and the execution check in `_stream_with_stats`
+    call THIS — keeping them one function is what guarantees a chain never
+    routes to a path whose preconditions don't hold."""
+
+    if tw <= 0 or th <= 0:
+        return False
+    return (
+        width % tw == 0
+        and height % th == 0
+        and (width // tw) * (height // th) > 1
+        and width >= tw + 2 * halo
+        and height >= th + 2 * halo
+    )
+
+
 def _uniform_candidate(
     enabled: Sequence[Any],
     image: Any,
@@ -129,22 +147,13 @@ def _uniform_candidate(
     width: int,
     height: int,
 ) -> bool:
-    """True when the tile grid is exact and every halo window fits inside
-    the frame — the geometry `_stream_uniform` batches (mirrors its gate in
-    `_stream_with_stats`)."""
+    """True when a TILEABLE chain (no global-stats steps, so `chain_halo`
+    equals the plans' halo sum) can run on `_stream_uniform`'s geometry."""
 
     if tsize is None:
         return False
-    tw, th = int(tsize[0]), int(tsize[1])
-    if tw <= 0 or th <= 0:
-        return False
-    halo = chain_halo(enabled)
-    return (
-        width % tw == 0
-        and height % th == 0
-        and (width // tw) * (height // th) > 1
-        and width >= tw + 2 * halo
-        and height >= th + 2 * halo
+    return _exact_grid(
+        width, height, int(tsize[0]), int(tsize[1]), chain_halo(enabled)
     )
 
 
@@ -387,13 +396,7 @@ def _stream_with_stats(
     if tsize is not None:
         tw, th = int(tsize[0]), int(tsize[1])
         halo_all = sum(p[3] for p in plans)
-        if (
-            width % tw == 0
-            and height % th == 0
-            and (width // tw) * (height // th) > 1
-            and width >= tw + 2 * halo_all
-            and height >= th + 2 * halo_all
-        ):
+        if _exact_grid(width, height, tw, th, halo_all):
             # uniform-grid fast path: same-shape shifted halo windows for
             # every tile -> batched stacks, one fused dispatch per batch
             # per pass (dispatch latency, not compute, dominates streaming
@@ -476,7 +479,11 @@ def _stream_with_stats(
     cache_list: List[Any] = list(warm) if warm is not None else []
 
     def upload_group(a: int, b: int):
-        first = np.asarray(image.read_region(eboxes[a]))
+        first = (
+            probe  # the budget probe already read the first window
+            if a == 0 and probe is not None
+            else np.asarray(image.read_region(eboxes[a]))
+        )
         regions = np.empty((b - a,) + first.shape, first.dtype)
         regions[0] = first
         for k in range(a + 1, b):
@@ -487,24 +494,29 @@ def _stream_with_stats(
             jnp.asarray(np.asarray(eboxes[a:b], np.int32)),
         )
 
+    probe: Optional[np.ndarray] = None
     if warm is not None:
         est_total = sum(int(s[0].nbytes) for s in cache_list)
     else:
+        # exact accounting from a probe of the first window (its per-pixel
+        # bytes generalize to every window; areas differ per clipped ebox)
+        probe = np.asarray(image.read_region(eboxes[0]))
         e0 = eboxes[0]
-        ch = frame_shape[2] if len(frame_shape) > 2 else 1
-        est_total = (
-            (e0[2] - e0[0])
-            * (e0[3] - e0[1])
-            * ch
-            * np.dtype(getattr(image, "dtype", None) or np.uint8).itemsize
-            * len(boxes)
+        bpp = probe.nbytes / max((e0[2] - e0[0]) * (e0[3] - e0[1]), 1)
+        est_total = int(
+            sum((e[2] - e[0]) * (e[3] - e[1]) for e in eboxes) * bpp
         )
 
     def stacks_iter():
         if cache_list:
             yield from cache_list
             return
-        keep = est_total <= _DEVICE_CACHE_BYTES
+        # retain uploads only when something can reuse them (later stats
+        # passes, or a warm re-run via the token cache) and they fit the
+        # configured budget — otherwise stream with O(batch) HBM residency
+        keep = (
+            source_key is not None or bool(global_indices)
+        ) and est_total <= _SOURCE_STACK_CACHE.budget
         for a, b in groups:
             entry = upload_group(a, b)
             if keep:
@@ -621,12 +633,8 @@ def _stream_with_stats(
         drain(_INFLIGHT)
     drain(0)
 
-    if (
-        warm is None
-        and source_key is not None
-        and len(cache_list) == len(groups)
-        and sum(int(s[0].nbytes) for s in cache_list) <= _DEVICE_CACHE_BYTES
-    ):
+    if warm is None and source_key is not None and len(cache_list) == len(groups):
+        # put() itself enforces the byte budget
         _SOURCE_STACK_CACHE.put(
             source_key,
             sum(int(s[0].nbytes) for s in cache_list),
@@ -710,7 +718,9 @@ def _cache_token(image: Any):
     if not callable(fn):
         return None
     try:
-        return fn()
+        token = fn()
+        hash(token)  # unhashable tokens would crash dict lookups later
+        return token
     except Exception:  # noqa: BLE001 — a broken token means "don't cache"
         return None
 
@@ -946,7 +956,12 @@ def _stream_uniform(
         if cache:
             yield from cache
             return
-        keep = total_bytes <= _DEVICE_CACHE_BYTES
+        # retain uploads only when something can reuse them (later stats
+        # passes, or a warm re-run via the token cache) and they fit the
+        # configured budget — otherwise stream with O(batch) HBM residency
+        keep = (
+            source_key is not None or bool(global_indices)
+        ) and total_bytes <= _SOURCE_STACK_CACHE.budget
         for sl in batches:
             entry = upload(sl)
             if keep:
@@ -987,12 +1002,8 @@ def _stream_uniform(
         drain(_INFLIGHT)
     drain(0)
 
-    if (
-        warm is None
-        and source_key is not None
-        and len(cache) == len(batches)
-        and total_bytes <= _DEVICE_CACHE_BYTES
-    ):
+    if warm is None and source_key is not None and len(cache) == len(batches):
+        # put() itself enforces the byte budget
         _SOURCE_STACK_CACHE.put(source_key, total_bytes, list(cache))
 
 
