@@ -111,6 +111,36 @@ IOU_CASES = [
     ("segmentation.graph_cuts", {}, 0.9),
 ]
 
+# awkward geometries for the heavyweight Pallas families: block-padding /
+# alignment bugs live at shapes that are NOT lane/sublane multiples, which
+# the shared 128x160 scene never exercises on hardware.  (identifier,
+# params, tol, shape); tolerances follow the same classes as CASES.
+ODD_SHAPE_CASES = [
+    (
+        "segmentation.watershed",
+        {
+            "kernel_size": 3,
+            "opening_iterations": 2,
+            "dilation_iterations": 3,
+            "distance_threshold_factor": 0.7,
+        },
+        0,
+        (97, 131),
+    ),
+    ("preprocessing.noise_reduction", {"method": "Median", "ksize": 5}, 0, (97, 131)),
+    ("preprocessing.noise_reduction", {"method": "Gaussian", "ksize": 5}, 1, (33, 259)),
+    (
+        "segmentation.opening",
+        {"kernel_shape": "Elliptical", "kernel_size": 5, "iterations": 2},
+        0,
+        (16, 515),
+    ),
+    # clahe pads odd frames to the grid; blend ties at exact .5 round
+    # differently between f32 device / f64 golden (documented 1-LSB class)
+    ("preprocessing.clahe", {"clip_limit": 2.0, "grid_size": 8}, 1, (97, 131)),
+    ("segmentation.adaptive", {"block_size": 11, "C": 2}, 0, (97, 131)),
+]
+
 
 def synthetic_scene(
     shape: Tuple[int, int] = (128, 160), seed: int = 7
@@ -137,9 +167,20 @@ def planned_total() -> int:
     """Number of checks a full audit performs (truncation detector)."""
 
     #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + 1 batched CLAHE
-    #  + agreement + IoU + snake + distance transform
-    #  + connected components + 10 device-extraction feature checks
-    return len(CASES) + 3 + 2 + len(AGREEMENT_CASES) + len(IOU_CASES) + 3 + 10
+    #  + odd-geometry cases (+1 odd chamfer) + agreement + IoU + snake
+    #  + distance transform + connected components
+    #  + 10 device-extraction feature checks
+    return (
+        len(CASES)
+        + 3
+        + 2
+        + len(ODD_SHAPE_CASES)
+        + 1
+        + len(AGREEMENT_CASES)
+        + len(IOU_CASES)
+        + 3
+        + 10
+    )
 
 
 def run_parity_cases(
@@ -275,6 +316,42 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
         if not ok:
             failures.append(name)
         emit(f"{'OK ' if ok else 'FAIL'} {name:44s} {detail}")
+
+    # ---- awkward geometries for the Pallas-heavy families
+    for identifier, params, tol, shape in ODD_SHAPE_CASES:
+        _tick()
+        impl = get_impl(identifier)
+        sgray, sbgr = synthetic_scene(shape)
+        image = (
+            sbgr
+            if identifier in ("segmentation.otsu", "segmentation.watershed")
+            else sgray
+        )
+        golden = impl.golden_fn(image, **params)
+        static, dyn = impl.split_params(params, image.shape)
+        dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+        device = np.asarray(impl.device_fn(jnp.asarray(image), dyn_j, **static))
+        diff = int(np.abs(device.astype(np.int64) - golden.astype(np.int64)).max())
+        check(
+            f"{identifier}@{shape[0]}x{shape[1]}",
+            diff <= tol,
+            f"maxdiff={diff} (tol {tol})",
+        )
+
+    # odd-geometry chamfer distance (raster-pass Pallas kernel)
+    _tick()
+    from yamimageprocessor_tpu.ops.distance import (
+        distance_transform_j as _dist_j,
+        distance_transform_np as _dist_np,
+    )
+
+    ogray, _ = synthetic_scene((97, 131))
+    omask = (ogray > 120).astype(np.uint8)
+    check(
+        "distance_transform@97x131",
+        bool((_dist_np(omask) == np.asarray(_dist_j(jnp.asarray(omask)))).all()),
+        "bit-exact",
+    )
 
     # ---- agreement-fraction cases (clustering family)
     for identifier, params, min_agree, which in AGREEMENT_CASES:
