@@ -254,8 +254,17 @@ def distance_transform_pallas(binary, *, interpret: bool = False):
     if ph or pw:
         d0 = jnp.pad(d0, ((0, ph), (0, pw)), constant_values=INF)
     hp, wp = d0.shape
+    # Scoped VMEM is 16 MiB and the grid pipeline double-buffers the in
+    # and out blocks (4 block copies of block_rows*wp f32 live at once,
+    # plus the carry scratch) — cap block rows so the kernel fits at any
+    # width (at 4096^2 an uncapped 256-row block is 32 KiB OVER the limit)
+    max_block = max(8, (14 * 2**20) // (16 * wp))
     block = 8
-    while block * 2 <= min(hp, 256) and hp % (block * 2) == 0:
+    while (
+        block * 2 <= min(hp, 256)
+        and hp % (block * 2) == 0
+        and block * 2 <= max_block
+    ):
         block *= 2
     while hp % block:
         block //= 2
