@@ -73,29 +73,55 @@ _accelerator_available = accelerator_available
 
 
 def _checksum_loop(chain_fn, dyn, frames, iters: int):
-    """Jitted fori_loop running ``iters`` chained passes with a data
-    dependency, returning only a scalar checksum: defeats async-dispatch
-    elision and host<->device transfer skew (the relay can report
-    block_until_ready before execution finishes)."""
+    """Per-iteration time of ``iters`` chained chain passes, measured as the
+    SLOPE between two loop lengths.
+
+    The fori_loop carries a data dependency and returns only a scalar
+    checksum: defeats async-dispatch elision and host<->device transfer skew
+    (the relay can report block_until_ready before execution finishes).  A
+    single timed call also pays one fixed host->relay->device round trip
+    (~0.1 s on this link, swinging 2-3x between minutes); amortizing it over
+    the loop understates the chain by ~15% at 50 iters.  Timing the loop at
+    two lengths and taking (t_hi - t_lo)/(n_hi - n_lo) cancels that constant
+    exactly — both the slope and the latency-inclusive rate are disclosed
+    (extra "headline_methodology")."""
 
     import jax
     import jax.numpy as jnp
 
-    def looped(x):
+    def looped(x, n):
         def body(_, v):
             return chain_fn(v, dyn)[-1]
 
-        out = jax.lax.fori_loop(0, iters, body, x)
+        out = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(out.astype(jnp.uint32))
 
     fn = jax.jit(looped)
     device_frames = jax.device_put(frames)
-    checksum = int(np.asarray(fn(device_frames)))  # compile + warm
-    start = time.perf_counter()
-    checksum = int(np.asarray(fn(device_frames)))
-    elapsed = time.perf_counter() - start
+    n_lo, n_hi = iters, 3 * iters
+    checksum = int(np.asarray(fn(device_frames, n_hi)))  # compile + warm
     assert checksum >= 0
-    return elapsed
+    times = {n_lo: [], n_hi: []}
+    for _ in range(2):  # interleaved pairs so link drift hits both lengths
+        for n in (n_lo, n_hi):
+            start = time.perf_counter()
+            int(np.asarray(fn(device_frames, n)))
+            times[n].append(time.perf_counter() - start)
+    t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    inclusive = t_hi / n_hi  # still amortizes the round trip
+    per_iter = slope if slope > 0 else inclusive
+    _stderr(
+        {
+            "extra": "headline_methodology",
+            "per_iter_slope_ms": round(slope * 1e3, 3),
+            "per_iter_latency_inclusive_ms": round(inclusive * 1e3, 3),
+            "loop_lengths": [n_lo, n_hi],
+            "note": "headline = slope between two loop lengths; cancels the "
+            "fixed relay round-trip constant",
+        }
+    )
+    return per_iter * iters
 
 
 def _headline(backend: str) -> None:
