@@ -124,6 +124,43 @@ def _checksum_loop(chain_fn, dyn, frames, iters: int):
     return per_iter * iters
 
 
+def _barrier_loop(fn_last, dyn, n_lo: int, n_hi: int):
+    """Per-iteration seconds of ``fn_last(x, dyn)`` via the same two-length
+    slope as the headline.  ``optimization_barrier`` ties each iteration's
+    input to the loop counter so XLA can neither hoist the loop-invariant
+    chain out of the fori_loop nor coalesce identical dispatches, while the
+    actual pixels (and therefore the measured work) stay identical."""
+
+    import jax
+    import jax.numpy as jnp
+
+    def looped(x, n):
+        def body(i, acc):
+            xi, _ = jax.lax.optimization_barrier((x, i))
+            return acc + jnp.sum(fn_last(xi, dyn).astype(jnp.uint32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+    run = jax.jit(looped)
+
+    def timed(x, n):
+        start = time.perf_counter()
+        int(np.asarray(run(x, n)))
+        return time.perf_counter() - start
+
+    def measure(x):
+        timed(x, n_hi)  # compile + warm
+        times = {n_lo: [], n_hi: []}
+        for _ in range(2):  # interleaved so link drift hits both lengths
+            for n in (n_lo, n_hi):
+                times[n].append(timed(x, n))
+        t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
+        slope = (t_hi - t_lo) / (n_hi - n_lo)
+        return slope if slope > 0 else t_hi / n_hi
+
+    return measure
+
+
 def _headline(backend: str) -> None:
     from yamimageprocessor_tpu.models.stages import flagship_chain
 
@@ -202,7 +239,6 @@ def _extra_segmentation_fps() -> None:
     2048^2 frames/s (the judged segmentation metric)."""
 
     import jax
-    import jax.numpy as jnp
 
     from yamimageprocessor_tpu.models.stages import segmentation_steps
     from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
@@ -213,24 +249,12 @@ def _extra_segmentation_fps() -> None:
     chain = get_compiled_chain(steps, frame.shape, frame.dtype)
     fn, dyn = chain.pure_callable()
 
-    @jax.jit
-    def run(x):
-        return jnp.sum(fn(x, dyn)[-1].astype(jnp.uint32))
-
-    dev = jax.device_put(frame)
-    int(np.asarray(run(dev)))  # compile + warm
-    reps = 5
-    # dispatch all reps, sync once: frames/s must measure the chain, not
-    # the relay's per-call host sync latency
-    start = time.perf_counter()
-    outs = [run(dev) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    int(np.asarray(outs[-1]))
-    elapsed = time.perf_counter() - start
+    measure = _barrier_loop(lambda x, d: fn(x, d)[-1], dyn, 4, 12)
+    per_frame = measure(jax.device_put(frame))
     _stderr(
         {
             "extra": "segmentation_fps_2048",
-            "value": round(reps / elapsed, 3),
+            "value": round(1.0 / per_frame, 3),
             "unit": "frames/s",
             "config": "otsu+open+close+watershed @2048^2 dense scene",
         }
@@ -273,24 +297,15 @@ def _extra_batched_clahe() -> None:
     chain = get_compiled_chain(steps, shape, np.uint8, batch=batch)
     fn, dyn = chain.pure_callable()
 
-    @jax.jit
-    def run(seed):
-        frames = jax.random.randint(
-            jax.random.PRNGKey(seed), shape, 0, 256, jnp.uint8
-        )
-        return jnp.sum(fn(frames, dyn)[-1].astype(jnp.uint32))
-
-    int(np.asarray(run(0)))  # compile + warm
-    reps = 3
-    start = time.perf_counter()
-    outs = [run(i) for i in range(reps)]
-    jax.block_until_ready(outs)
-    int(np.asarray(outs[-1]))
-    elapsed = time.perf_counter() - start
+    frames = jax.random.randint(
+        jax.random.PRNGKey(0), shape, 0, 256, jnp.uint8
+    )
+    measure = _barrier_loop(lambda x, d: fn(x, d)[-1], dyn, 2, 6)
+    per_pass = measure(frames)
     _stderr(
         {
             "extra": "batched_clahe_chain",
-            "value": round(reps * batch * side * side / 1e6 / elapsed, 1),
+            "value": round(batch * side * side / 1e6 / per_pass, 1),
             "unit": "MPix/s",
             "config": f"{batch}x{side}^2 BGR, Gaussian+CLAHE+channel-mix",
         }
