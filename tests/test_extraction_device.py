@@ -350,3 +350,70 @@ def test_all_ten_extraction_families_device_capable():
         if impl.device_fn is None and impl.feature_fn is None
     ]
     assert not missing, f"host-only extraction families: {missing}"
+
+
+class TestGrayOperandCache:
+    """Content-token device operand cache (the extraction twin of the
+    streaming source-stack cache): warm re-extractions must not re-upload,
+    and in-place mutation must mint a fresh token (content-keyed, never a
+    stale hit)."""
+
+    def setup_method(self):
+        XD.clear_gray_operand_cache()
+        self._cache = XD._GRAY_CACHE
+        self._cache.hits = self._cache.misses = 0
+
+    def teardown_method(self):
+        XD.clear_gray_operand_cache()
+
+    def test_warm_single_frame_hits(self, scene):
+        _, bgr = scene
+        XD.region_tables_device([bgr.copy()])
+        first_misses = self._cache.misses
+        assert first_misses >= 1 and self._cache.hits == 0
+        XD.region_tables_device([bgr.copy()])
+        assert self._cache.hits >= 1
+        assert self._cache.misses == first_misses  # no new upload
+
+    def test_mutation_mints_fresh_token(self, scene):
+        _, bgr = scene
+        frame = bgr.copy()
+        t1 = XD.region_tables_device([frame])[0]
+        frame[:] = 255 - frame  # in-place mutation
+        t2 = XD.region_tables_device([frame])[0]
+        assert self._cache.hits == 0  # content changed -> token changed
+        assert t1["meas"].count != t2["meas"].count or not np.allclose(
+            t1["solidity"], t2["solidity"]
+        ) or t1["meas"].area.sum() != t2["meas"].area.sum()
+
+    def test_batch_stack_cached(self, scene):
+        _, bgr = scene
+        frames = [bgr.copy(), (255 - bgr).copy()]
+        a = XD.region_tables_device(frames)
+        misses = self._cache.misses
+        b = XD.region_tables_device(frames)
+        assert self._cache.misses == misses  # stacked upload reused
+        for ta, tb in zip(a, b):
+            assert ta["meas"].count == tb["meas"].count
+            np.testing.assert_array_equal(ta["meas"].area, tb["meas"].area)
+
+    def test_budget_evicts_lru(self):
+        cache = XD._GrayOperandCache(budget_bytes=100)
+        cache.put("a", object(), 60)
+        cache.put("b", object(), 60)  # evicts a
+        assert cache.get("a") is None
+        assert cache.get("b") is not None
+        cache.put("huge", object(), 1000)  # over budget: never stored
+        assert cache.get("huge") is None
+        assert cache.get("b") is not None
+
+    def test_record_token_preferred(self):
+        class Rec(np.ndarray):
+            def cache_token(self):
+                return ("path.png", 123.0, 456)
+
+        arr = np.zeros((8, 8), dtype=np.uint8).view(Rec)
+        token = XD._frame_token(arr)
+        assert token == ("record", ("path.png", 123.0, 456))
+        plain = XD._frame_token(np.zeros((8, 8), dtype=np.uint8))
+        assert plain[0] == "sha256"

@@ -284,6 +284,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        # Mosaic first-compiles cost minutes on slow compile services; the
+        # persistent cache bounds them to once per machine, so every CLI
+        # process after the first starts warm (no-op on the CPU harness).
+        from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:  # noqa: BLE001 — jax-free host installs still work
+        pass
     return args.fn(args)
 
 

@@ -392,7 +392,12 @@ def use_device_extraction() -> bool:
 
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # idempotent; bounds Mosaic first-compiles
+    return True
 
 
 MAX_HULL_VERTICES = 64  # static padding for device hull vertex lists
@@ -559,13 +564,100 @@ def region_table_device(img) -> Dict[str, np.ndarray]:
     return region_tables_device([img])[0]
 
 
+class _GrayOperandCache:
+    """Device-resident gray-frame cache keyed by source content token —
+    the extraction twin of the streaming engine's source-stack cache
+    (``parallel/tiling.py``).  The reference registers every source once
+    by SHA-256 of its pixel bytes and keys all downstream work off that id
+    (``processing/pipeline_cache.py:256-282``); here the same token keeps
+    the uploaded grayscale operand in HBM so the interactive
+    re-extract-after-tweak flow pays the host link once per source, not
+    once per call.  Content-keyed, so in-place mutation of a caller's
+    array simply mints a new token (never a stale hit)."""
+
+    def __init__(self, budget_bytes: int) -> None:
+        self.budget = budget_bytes
+        self._entries: Dict[object, tuple] = {}  # token -> (dev, nbytes)
+        self._order: List[object] = []
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, token):
+        entry = self._entries.get(token)
+        if entry is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        self._order.remove(token)
+        self._order.append(token)
+        return entry[0]
+
+    def put(self, token, dev, nbytes: int) -> None:
+        if nbytes > self.budget:
+            return
+        while self._order and (
+            sum(e[1] for e in self._entries.values()) + nbytes > self.budget
+        ):
+            old = self._order.pop(0)
+            del self._entries[old]
+        self._entries[token] = (dev, nbytes)
+        self._order.append(token)
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._order.clear()
+
+
+def _operand_cache_budget() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("YAM_EXTRACT_OPERAND_CACHE_BYTES", 256 * 1024 * 1024)
+        )
+    except ValueError:
+        return 256 * 1024 * 1024
+
+
+_GRAY_CACHE = _GrayOperandCache(_operand_cache_budget())
+
+
+def clear_gray_operand_cache() -> None:
+    """Drop every device-resident extraction operand (frees HBM)."""
+
+    _GRAY_CACHE.clear()
+
+
+def _frame_token(frame) -> object:
+    """Content token for a source frame: a record-provided cache token
+    when the source carries one (file-backed records key on
+    (path, mtime, size)), else SHA-256 of the pixel bytes — the
+    reference's source-id scheme (``processing/pipeline_cache.py:256``)."""
+
+    fn = getattr(frame, "cache_token", None)
+    if callable(fn):
+        try:
+            token = fn()
+            hash(token)
+            return ("record", token)
+        except Exception:  # noqa: BLE001 — broken token means hash bytes
+            pass
+    import hashlib
+
+    arr = np.ascontiguousarray(frame)
+    digest = hashlib.sha256(arr.view(np.uint8).reshape(-1)).hexdigest()
+    return ("sha256", digest, arr.shape, arr.dtype.str)
+
+
 def region_tables_device(frames) -> list:
     """Batched variant for mass extraction: dispatches every frame before
     fetching anything, so device compute and D2H transfers overlap and the
     per-frame sync latency amortizes across the batch.
 
     Geometry features only need the binary mask, so color frames upload as
-    the (bit-exact) host grayscale — one third of the H2D bytes.
+    the (bit-exact) host grayscale — one third of the H2D bytes — and the
+    uploaded operand is cached across calls by content token (warm
+    re-extractions of a registered source skip the host link entirely).
 
     Two-tier capacity: everything runs at the 64-region tier first (8x
     smaller segment space and hull batch); only frames whose raw label
@@ -575,9 +667,26 @@ def region_tables_device(frames) -> list:
     import jax
     import jax.numpy as jnp
 
-    grays = [
-        C.bgr_to_gray_np(f) if getattr(f, "ndim", 2) == 3 else f for f in frames
-    ]
+    tokens = [_frame_token(f) for f in frames]
+    shapes = [tuple(f.shape[:2]) for f in frames]
+    host_grays: Dict[int, np.ndarray] = {}
+
+    def host_gray(i: int) -> np.ndarray:
+        g = host_grays.get(i)
+        if g is None:
+            f = frames[i]
+            g = C.bgr_to_gray_np(f) if getattr(f, "ndim", 2) == 3 else np.asarray(f)
+            host_grays[i] = g
+        return g
+
+    def device_gray(i: int):
+        dev = _GRAY_CACHE.get(tokens[i])
+        if dev is None:
+            g = host_gray(i)
+            dev = jax.device_put(g)
+            _GRAY_CACHE.put(tokens[i], dev, g.nbytes)
+        return dev
+
 
     def run_tier(idx: List[int], capacity: int):
         """(labels_i, bundle_np_i) per index — frames GROUPED by shape so
@@ -587,21 +696,26 @@ def region_tables_device(frames) -> list:
 
         by_shape: Dict[tuple, List[int]] = {}
         for i in idx:
-            by_shape.setdefault(tuple(grays[i].shape), []).append(i)
+            by_shape.setdefault(shapes[i], []).append(i)
         out: Dict[int, tuple] = {}
         singles: List[int] = []
         for members in by_shape.values():
             if len(members) == 1:
                 singles.append(members[0])
                 continue
-            stack = np.stack([grays[i] for i in members])
+            stack_token = ("stack",) + tuple(tokens[i] for i in members)
+            stack = _GRAY_CACHE.get(stack_token)
+            if stack is None:
+                host_stack = np.stack([host_gray(i) for i in members])
+                stack = jax.device_put(host_stack)
+                _GRAY_CACHE.put(stack_token, stack, host_stack.nbytes)
             labels_b, bundles_b = _jitted_region_packed_batch(capacity)(stack)
             fetched = np.asarray(bundles_b)
             for k, i in enumerate(members):
                 out[i] = (labels_b[k], fetched[k])
         if singles:
             fn = _jitted_region_packed(capacity)
-            outs = [fn(grays[i]) for i in singles]  # async, no blocking
+            outs = [fn(device_gray(i)) for i in singles]  # async, no blocking
             # ONE stacked transfer for the stragglers: per-bundle
             # device_get pays the relay round trip N times over
             fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
@@ -609,7 +723,7 @@ def region_tables_device(frames) -> list:
                 out[i] = (outs[k][0], fetched[k])
         return [out[i] for i in idx]
 
-    first = run_tier(list(range(len(grays))), FAST_REGIONS)
+    first = run_tier(list(range(len(frames))), FAST_REGIONS)
     tables = [
         _finalize_region_table(bundle, labels, FAST_REGIONS)
         for labels, bundle in first
@@ -638,5 +752,6 @@ __all__ = [
     "region_packed_j",
     "region_table_device",
     "region_tables_device",
+    "clear_gray_operand_cache",
     "MAX_HULL_VERTICES",
 ]

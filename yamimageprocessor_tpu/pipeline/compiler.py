@@ -54,6 +54,9 @@ class CompiledChain:
     ) -> None:
         import jax
 
+        from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()  # idempotent; bounds Mosaic first-compiles
         self.steps = [s.clone() for s in steps]
         self.shape = tuple(shape)
         self.dtype = np.dtype(dtype)
