@@ -265,3 +265,80 @@ def test_uint16_viewport_normalizes_high_range():
     rgb = _to_rgb(frame) if frame.dtype != np.uint8 else frame
     # a gradient must render as a gradient, not solid white
     assert int(rgb.max()) > 200 and int(rgb.min()) < 50
+
+
+# ---------------------------------------------------------------------------
+# ND slice navigation (PreviewWidget slice controls,
+# ref yam_processor/ui/dialogs.py:292-412)
+class TestNdSliceNavigation:
+    def test_needs_nd_controls(self):
+        assert not IV.needs_nd_controls(np.zeros((8, 8), np.uint8))
+        assert not IV.needs_nd_controls(np.zeros((8, 8, 3), np.uint8))
+        assert not IV.needs_nd_controls(np.zeros((8, 8, 1), np.uint8))
+        assert not IV.needs_nd_controls(np.zeros((8, 8, 4), np.uint8))
+        assert IV.needs_nd_controls(np.zeros((5, 8, 8), np.uint8))
+        assert IV.needs_nd_controls(np.zeros((8, 8, 2), np.uint8))
+        assert IV.needs_nd_controls(np.zeros((4, 8, 8, 3), np.uint8))
+
+    def test_axis_qualification(self):
+        # singleton axes never qualify; trailing 3-channel of a 3-d array
+        # never qualifies; fallback to axis 0 when nothing qualifies
+        assert IV.nd_slice_axes((5, 8, 8)) == [0, 1, 2]
+        assert IV.nd_slice_axes((1, 8, 8)) == [1, 2]
+        assert IV.nd_slice_axes((8, 8, 3)) == [0, 1]
+        assert IV.nd_slice_axes((4, 8, 8, 3)) == [0, 1, 2, 3]
+        assert IV.nd_slice_axes((1, 1, 1)) == [0]
+
+    def test_extract_nd_slice_upgrades_rank(self):
+        stack = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+        plane = IV.extract_nd_slice(stack, 0, 1)
+        np.testing.assert_array_equal(plane, stack[1])
+        row = IV.extract_nd_slice(stack[:, :, 0], 0, 0)
+        assert row.ndim == 2 and row.shape == (1, 3)
+
+    def test_viewport_steps_slices(self):
+        stack = np.stack(
+            [np.full((16, 24), v, np.uint8) for v in (10, 120, 240)]
+        )
+        vp = IV.ImageViewport(None, nd_array=stack, dims=("z", "y", "x"))
+        assert vp.nd_active and vp.nd_axis == 0 and vp.nd_index == 0
+        assert vp.view(24, 16).max() == 10
+        vp.step_slice(1)
+        assert vp.view(24, 16).max() == 120
+        vp.step_slice(10)  # clamps to the last slice
+        assert vp.nd_index == 2 and vp.view(24, 16).max() == 240
+        vp.step_slice(-10)
+        assert vp.nd_index == 0
+        assert "z(0) 1/3" in vp.describe(24, 16)
+
+    def test_viewport_cycles_axes_and_clamps_index(self):
+        stack = np.arange(4 * 16 * 24, dtype=np.uint8).reshape(4, 16, 24)
+        vp = IV.ImageViewport(None, nd_array=stack)
+        vp.step_slice(3)
+        assert vp.nd_index == 3
+        vp.cycle_axis()  # -> axis 1 (rows), index stays 3 (< 16)
+        assert vp.nd_axis == 1 and vp.nd_index == 3
+        plane = IV.extract_nd_slice(stack, 1, 3)
+        assert vp.preview.levels[0].image.shape == plane.shape
+        vp.cycle_axis()  # -> axis 2
+        vp.cycle_axis()  # wraps -> axis 0; index 3 still valid (4 slices)
+        assert vp.nd_axis == 0 and vp.nd_index == 3
+
+    def test_cycle_axis_reclamps_to_short_axis(self):
+        stack = np.zeros((16, 2, 24), np.uint8)
+        vp = IV.ImageViewport(None, nd_array=stack)
+        vp.step_slice(9)
+        vp.cycle_axis()  # axis 1 has extent 2: index clamps to 1
+        assert vp.nd_axis == 1 and vp.nd_index == 1
+
+    def test_zoom_persists_across_slices_same_shape(self):
+        stack = np.zeros((3, 32, 32), np.uint8)
+        vp = IV.ImageViewport(None, nd_array=stack)
+        vp.at_100()
+        vp.step_slice(1)
+        assert vp.zoom == 1.0  # same geometry: view transform untouched
+
+    def test_plain_array_via_nd_param_builds_preview(self):
+        vp = IV.ImageViewport(None, nd_array=_gradient())
+        assert not vp.nd_active
+        assert vp.view(32, 32).shape[:2] == (32, 32)

@@ -361,3 +361,36 @@ def test_tab_switch_clamps_step_cursor(workspace):
         return True
 
     assert _host(settings, (Stage.PREPROCESSING, Stage.SEGMENTATION), body)
+
+
+def test_shell_view_nd_stack_slice_browsing(workspace):
+    """An ND preview opens with slice controls: '['/']' step the slice,
+    'a' cycles the browse axis, and the header reports axis/index
+    (reference PreviewWidget ND slice controls,
+    yam_processor/ui/dialogs.py:292-412)."""
+
+    tmp_path, settings = workspace
+
+    def body(shell):
+        shell.load(tmp_path / "cell.png")
+        stack = np.stack(
+            [np.full((32, 48), v, np.uint8) for v in (15, 128, 250)]
+        )
+        shell._preview_images[shell.active_stage] = stack
+        assert shell.handle_key("v")
+        assert shell.mode == "view" and shell.viewport.nd_active
+        text = "\n".join(shell.render(90, 30))
+        assert "slice Axis 0(0) 1/3" in text and "[/] slice" in text
+        assert shell.viewport.view(48, 32).max() == 15
+        assert shell.handle_key("]")
+        assert shell.viewport.nd_index == 1
+        assert shell.viewport.view(48, 32).max() == 128
+        assert shell.handle_key("[")
+        assert shell.viewport.nd_index == 0
+        before_axis = shell.viewport.nd_axis
+        assert shell.handle_key("a")
+        assert shell.viewport.nd_axis != before_axis
+        assert shell.handle_key("escape")
+        return True
+
+    assert _host(settings, [Stage.PREPROCESSING], body)

@@ -213,6 +213,52 @@ def write_png(path, img: np.ndarray) -> None:
 
 
 # ---------------------------------------------------------------------------
+# ND slice navigation (PreviewWidget slice controls,
+# ref yam_processor/ui/dialogs.py:292-412)
+def needs_nd_controls(array) -> bool:
+    """True when an array browses as an ND stack rather than one frame:
+    ndim > 2, except a 2-D image with a trailing 1/3/4 channel axis
+    (``_should_use_nd_controls``, ref dialogs.py:317-322)."""
+
+    ndim = getattr(array, "ndim", 0)
+    if ndim <= 2:
+        return False
+    if ndim == 3 and array.shape[2] in (1, 3, 4):
+        return False
+    return True
+
+
+def nd_slice_axes(shape: Tuple[int, ...]) -> List[int]:
+    """Qualifying browse axes: every axis of extent > 1, minus a 3-d
+    array's trailing channel axis of size 1/3/4; axis 0 as the fallback
+    when nothing qualifies (``_configure_slice_controls``,
+    ref dialogs.py:324-341)."""
+
+    ndim = len(shape)
+    axes = [
+        i
+        for i, size in enumerate(shape)
+        if size > 1 and not (ndim == 3 and i == ndim - 1 and size in (1, 3, 4))
+    ]
+    return axes or [0]
+
+
+def extract_nd_slice(array: np.ndarray, axis: int, index: int) -> np.ndarray:
+    """One displayable plane of an ND stack; 0-d/1-d results upgrade to
+    2-D exactly like the reference (``_render_nd_slice``,
+    ref dialogs.py:377-390)."""
+
+    selector = [slice(None)] * array.ndim
+    selector[axis] = index
+    plane = np.asarray(array[tuple(selector)])
+    if plane.ndim == 0:
+        plane = plane.reshape(1, 1)
+    elif plane.ndim == 1:
+        plane = plane[None, :]
+    return plane
+
+
+# ---------------------------------------------------------------------------
 # viewport
 class ImageViewport:
     """Pan/zoom window over a :class:`~yamimageprocessor_tpu.ui.preview.
@@ -229,14 +275,84 @@ class ImageViewport:
     #: stays modest (thumbnail-class); larger demands go to read_region
     MAX_LEVEL_EDGE = 2048
 
-    def __init__(self, preview, record=None) -> None:
-        self.preview = preview
+    def __init__(self, preview, record=None, nd_array=None, dims=None) -> None:
         self.record = record
+        self.nd_array = None
+        self.nd_dims: Tuple[str, ...] = ()
+        self.nd_axes: List[int] = []
+        self.nd_axis = 0
+        self.nd_index = 0
+        if nd_array is not None and needs_nd_controls(nd_array):
+            # ND stack: the viewport owns per-slice pyramids; zoom/center
+            # persist across slice steps (the reference swaps the pixmap
+            # under an unchanged QGraphicsView transform)
+            self.nd_array = np.asarray(nd_array)
+            self.nd_dims = (
+                tuple(str(d) for d in dims)
+                if dims
+                else tuple(f"Axis {i}" for i in range(self.nd_array.ndim))
+            )
+            self.nd_axes = nd_slice_axes(self.nd_array.shape)
+            self.nd_axis = self.nd_axes[0]
+            self.nd_index = 0
+            preview = self._slice_preview()
+        elif nd_array is not None:
+            from yamimageprocessor_tpu.ui.preview import PreviewRecord
+
+            preview = PreviewRecord.build(np.asarray(nd_array))
+        self.preview = preview
         shape = preview.levels[0].shape
         self.src_h = int(shape[0])
         self.src_w = int(shape[1])
         self.center = (self.src_h / 2.0, self.src_w / 2.0)
         self.zoom: Optional[float] = None  # None = fit
+
+    # -- ND slice browsing ------------------------------------------------
+    def _slice_preview(self):
+        from yamimageprocessor_tpu.ui.preview import PreviewRecord
+
+        return PreviewRecord.build(
+            extract_nd_slice(self.nd_array, self.nd_axis, self.nd_index)
+        )
+
+    @property
+    def nd_active(self) -> bool:
+        return self.nd_array is not None
+
+    def _reslice(self) -> None:
+        self.preview = self._slice_preview()
+        shape = self.preview.levels[0].shape
+        src = (int(shape[0]), int(shape[1]))
+        if src != (self.src_h, self.src_w):
+            self.src_h, self.src_w = src
+            self.fit()
+
+    def cycle_axis(self) -> None:
+        """Advance to the next qualifying axis; the slice index clamps to
+        the new extent (``_update_slice_range``, ref dialogs.py:355-365)."""
+
+        if not self.nd_active or len(self.nd_axes) < 2:
+            return
+        pos = self.nd_axes.index(self.nd_axis)
+        self.nd_axis = self.nd_axes[(pos + 1) % len(self.nd_axes)]
+        self.nd_index = min(self.nd_index, self.nd_array.shape[self.nd_axis] - 1)
+        self._reslice()
+
+    def step_slice(self, delta: int) -> None:
+        if not self.nd_active:
+            return
+        size = self.nd_array.shape[self.nd_axis]
+        index = int(np.clip(self.nd_index + delta, 0, size - 1))
+        if index != self.nd_index:
+            self.nd_index = index
+            self._reslice()
+
+    def nd_status(self) -> str:
+        if not self.nd_active:
+            return ""
+        name = self.nd_dims[self.nd_axis]
+        size = self.nd_array.shape[self.nd_axis]
+        return f"{name}({self.nd_axis}) {self.nd_index + 1}/{size}"
 
     # -- state ----------------------------------------------------------
     def fit(self) -> None:
@@ -264,7 +380,9 @@ class ImageViewport:
         z = self.zoom if self.zoom is not None else self._fit_zoom(vw, vh)
         cy, cx = self.center
         mode = "fit" if self.zoom is None else f"{z * 100:.0f}%"
-        return f"zoom {mode} @({cy:.0f},{cx:.0f}) src {self.src_h}x{self.src_w}"
+        base = f"zoom {mode} @({cy:.0f},{cx:.0f}) src {self.src_h}x{self.src_w}"
+        nd = self.nd_status()
+        return f"{base} slice {nd}" if nd else base
 
     # -- rendering ------------------------------------------------------
     def view(self, vw: int, vh: int) -> np.ndarray:
@@ -356,4 +474,7 @@ __all__ = [
     "detect_graphics_protocol",
     "write_png",
     "ImageViewport",
+    "needs_nd_controls",
+    "nd_slice_axes",
+    "extract_nd_slice",
 ]

@@ -252,9 +252,20 @@ class ShellController:
         stage = self.active_stage
         preview = None
         record = None
+        from yamimageprocessor_tpu.ui.imageview import needs_nd_controls
+
         image = self._preview_images.get(stage)
         if image is not None and getattr(image, "size", 0):
-            preview = PreviewRecord.build(np.asarray(image))
+            array = np.asarray(image)
+            if needs_nd_controls(array):
+                # ND stack: slice browsing (axis cycle + slice stepping),
+                # the PreviewWidget slice-control contract
+                self.viewport = ImageViewport(
+                    None, nd_array=array, dims=getattr(image, "dims", None)
+                )
+                self.mode = "view"
+                return
+            preview = PreviewRecord.build(array)
         elif getattr(pane, "preview_record", None) is not None:
             # lazy/gigapixel source: pan via region reads, never to_array
             preview = pane.preview_record
@@ -327,6 +338,12 @@ class ShellController:
             self.request_graphics()
         elif low == "w":
             self.begin_prompt("export")
+        elif low == "a":
+            vp.cycle_axis()
+        elif low in ("[", ","):
+            vp.step_slice(-1)
+        elif low in ("]", "."):
+            vp.step_slice(1)
         return True
 
     def begin_prompt(self, purpose: str) -> None:
@@ -522,6 +539,8 @@ class ShellController:
                 "arrows/hjkl pan  +/- zoom  0 fit  1 100%  g graphics  "
                 "w export png  Esc back"
             )
+            if self.viewport is not None and self.viewport.nd_active:
+                hint = "[/] slice  a axis  " + hint
         else:
             hint = (
                 "1/2/3 tabs  up/down step  Space toggle  e edit  v view  "
