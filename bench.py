@@ -101,15 +101,13 @@ def _checksum_loop(chain_fn, dyn, frames, iters: int):
     n_lo, n_hi = iters, 3 * iters
     checksum = int(np.asarray(fn(device_frames, n_hi)))  # compile + warm
     assert checksum >= 0
-    times = {n_lo: [], n_hi: []}
-    for _ in range(2):  # interleaved pairs so link drift hits both lengths
-        for n in (n_lo, n_hi):
-            start = time.perf_counter()
-            int(np.asarray(fn(device_frames, n)))
-            times[n].append(time.perf_counter() - start)
-    t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
-    slope = (t_hi - t_lo) / (n_hi - n_lo)
-    inclusive = t_hi / n_hi  # still amortizes the round trip
+
+    def timed(n: int) -> float:
+        start = time.perf_counter()
+        int(np.asarray(fn(device_frames, n)))
+        return time.perf_counter() - start
+
+    slope, inclusive = _two_length_slope(timed, n_lo, n_hi)
     per_iter = slope if slope > 0 else inclusive
     _stderr(
         {
@@ -122,6 +120,24 @@ def _checksum_loop(chain_fn, dyn, frames, iters: int):
         }
     )
     return per_iter * iters
+
+
+def _two_length_slope(timed, n_lo: int, n_hi: int):
+    """min-of-2 interleaved timing pairs at two loop lengths →
+    (slope s/iter, latency-inclusive s/iter).  Shared by the headline and
+    every slope-measured extra so the methodology cannot drift between
+    them.  ``timed(n)`` must run the jitted loop at length ``n`` and block
+    on a scalar fetch; the first call warms/compiles at ``n_hi``."""
+
+    timed(n_hi)  # compile + warm
+    times = {n_lo: [], n_hi: []}
+    for _ in range(2):  # interleaved pairs so link drift hits both lengths
+        for n in (n_lo, n_hi):
+            times[n].append(timed(n))
+    t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    inclusive = t_hi / n_hi  # still amortizes the round trip
+    return slope, inclusive
 
 
 def _barrier_loop(fn_last, dyn, n_lo: int, n_hi: int):
@@ -149,14 +165,8 @@ def _barrier_loop(fn_last, dyn, n_lo: int, n_hi: int):
         return time.perf_counter() - start
 
     def measure(x):
-        timed(x, n_hi)  # compile + warm
-        times = {n_lo: [], n_hi: []}
-        for _ in range(2):  # interleaved so link drift hits both lengths
-            for n in (n_lo, n_hi):
-                times[n].append(timed(x, n))
-        t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
-        slope = (t_hi - t_lo) / (n_hi - n_lo)
-        return slope if slope > 0 else t_hi / n_hi
+        slope, inclusive = _two_length_slope(lambda n: timed(x, n), n_lo, n_hi)
+        return slope if slope > 0 else inclusive
 
     return measure
 

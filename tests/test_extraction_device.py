@@ -417,3 +417,31 @@ class TestGrayOperandCache:
         assert token == ("record", ("path.png", 123.0, 456))
         plain = XD._frame_token(np.zeros((8, 8), dtype=np.uint8))
         assert plain[0] == "sha256"
+
+
+def test_mass_batch_non_pow2_matches_singles(scene):
+    """Non-power-of-two same-shape batches pad the stacked dispatch to the
+    next power of two: XLA:TPU crashes the worker on the vmapped hull
+    kernel at b=3/5/6/7 with busy label content (b=1/2/4/8 are fine), so
+    the stack ships padded and the padded outputs are dropped.  On the CPU
+    harness this asserts the padding/slicing keeps batch == singles."""
+
+    _, bgr = scene
+    frames = [bgr.copy(), (255 - bgr).copy(), np.roll(bgr, 7, axis=1).copy()]
+    batch = XD.region_tables_device(frames)
+    singles = [XD.region_table_device(f) for f in frames]
+    assert len(batch) == len(frames)
+    for a, b in zip(batch, singles):
+        assert a["meas"].count == b["meas"].count
+        np.testing.assert_array_equal(a["meas"].area, b["meas"].area)
+        np.testing.assert_array_equal(a["solidity"], b["solidity"])
+
+
+def test_oversized_plain_frame_token_uncacheable():
+    """Plain ndarrays above the hash threshold return None (uncacheable):
+    hashing them would cost more than the upload the cache avoids."""
+
+    big = np.zeros((6000, 6000), dtype=np.uint8)  # 36 MB > 32 MiB threshold
+    assert XD._frame_token(big) is None
+    small = np.zeros((64, 64), dtype=np.uint8)
+    assert XD._frame_token(small)[0] == "sha256"

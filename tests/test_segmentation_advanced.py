@@ -77,7 +77,21 @@ def test_distance_transform_matches_cv2(gray):
     assert (device == golden).all(), "device/golden must be bit-identical"
 
 
-@pytest.mark.parametrize("shape", [(64, 96), (100, 130), (8, 128)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 96),
+        (100, 130),
+        (8, 128),
+        # >=1024-wide shapes take the sublane-chunked forward kernel
+        # (_dt_forward_chunked, gated by _CHUNK_MIN_W) — production 2048/4096
+        # frames live on that path, so it needs its own interpret coverage,
+        # including a ragged width whose INF chunk padding must not leak
+        (8, 1024),
+        (10, 1030),
+        (16, 2048),
+    ],
+)
 def test_distance_transform_pallas_interpret_parity(shape, rng):
     """The TPU raster-pass kernel is bit-identical to the XLA scan twin
     (interpret mode on the CPU harness), including ragged shapes whose

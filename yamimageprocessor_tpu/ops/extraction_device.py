@@ -628,11 +628,21 @@ def clear_gray_operand_cache() -> None:
     _GRAY_CACHE.clear()
 
 
-def _frame_token(frame) -> object:
+# Above this size a plain ndarray is NOT content-hashed for the operand
+# cache: SHA-256 runs ~1-2 GB/s on one host core, so for big frames on a
+# directly-attached link (>10 GB/s H2D) the hash would cost more than the
+# upload it tries to skip.  Record-provided tokens (path, mtime, size) are
+# free and unaffected.  Frames above the threshold simply re-upload.
+_HASH_TOKEN_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _frame_token(frame) -> object | None:
     """Content token for a source frame: a record-provided cache token
     when the source carries one (file-backed records key on
     (path, mtime, size)), else SHA-256 of the pixel bytes — the
-    reference's source-id scheme (``processing/pipeline_cache.py:256``)."""
+    reference's source-id scheme (``processing/pipeline_cache.py:256``).
+    Returns ``None`` (uncacheable) for large plain arrays where hashing
+    would cost more than the upload it avoids."""
 
     fn = getattr(frame, "cache_token", None)
     if callable(fn):
@@ -642,6 +652,8 @@ def _frame_token(frame) -> object:
             return ("record", token)
         except Exception:  # noqa: BLE001 — broken token means hash bytes
             pass
+    if getattr(frame, "nbytes", 0) > _HASH_TOKEN_MAX_BYTES:
+        return None
     import hashlib
 
     arr = np.ascontiguousarray(frame)
@@ -680,6 +692,8 @@ def region_tables_device(frames) -> list:
         return g
 
     def device_gray(i: int):
+        if tokens[i] is None:  # uncacheable (oversized plain array)
+            return jax.device_put(host_gray(i))
         dev = _GRAY_CACHE.get(tokens[i])
         if dev is None:
             g = host_gray(i)
@@ -703,14 +717,30 @@ def region_tables_device(frames) -> list:
             if len(members) == 1:
                 singles.append(members[0])
                 continue
-            stack_token = ("stack",) + tuple(tokens[i] for i in members)
-            stack = _GRAY_CACHE.get(stack_token)
+            if any(tokens[i] is None for i in members):
+                stack_token = None  # any uncacheable member poisons the stack key
+            else:
+                stack_token = ("stack",) + tuple(tokens[i] for i in members)
+            # XLA:TPU crashes the worker on the vmapped hull kernel at
+            # non-power-of-two batch sizes with busy label content
+            # (reproduced deterministically: b=3/5/6/7 fault, b=1/2/4/8 ok
+            # on v5e) — pad the stack to the next power of two with
+            # repeats of the last frame and drop the padded outputs.  The
+            # padding also collapses the number of distinct compiled batch
+            # programs to log2(N).
+            nmem = len(members)
+            padded = 1 << (nmem - 1).bit_length()
+            stack = None if stack_token is None else _GRAY_CACHE.get(stack_token)
             if stack is None:
                 host_stack = np.stack([host_gray(i) for i in members])
+                if padded != nmem:
+                    reps = np.repeat(host_stack[-1:], padded - nmem, axis=0)
+                    host_stack = np.concatenate([host_stack, reps], axis=0)
                 stack = jax.device_put(host_stack)
-                _GRAY_CACHE.put(stack_token, stack, host_stack.nbytes)
+                if stack_token is not None:
+                    _GRAY_CACHE.put(stack_token, stack, host_stack.nbytes)
             labels_b, bundles_b = _jitted_region_packed_batch(capacity)(stack)
-            fetched = np.asarray(bundles_b)
+            fetched = np.asarray(bundles_b[:nmem])
             for k, i in enumerate(members):
                 out[i] = (labels_b[k], fetched[k])
         if singles:

@@ -36,6 +36,13 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None) -> str:
     platforms = os.environ.get("JAX_PLATFORMS", jax.config.jax_platforms or "")
     if "cpu" in platforms.lower():
         return ""
+    # The env string alone fails OPEN on hosts where jax silently defaults
+    # to CPU (no accelerator, JAX_PLATFORMS unset) — exactly the machines
+    # where a shared CPU AOT cache is the documented SIGILL hazard.  The
+    # call sites are all about to trace/compile anyway, so initializing
+    # the backend here costs nothing extra.
+    if jax.default_backend() == "cpu":
+        return ""
 
     target = str(
         cache_dir
