@@ -189,6 +189,9 @@ def median_j(img, ksize: int):
 
     import jax.numpy as jnp
 
+    if ksize == 1:  # 1x1 window: the median of one tap is the pixel itself
+        return img
+
     r = ksize // 2
     work = _pad_j(img, r, r, "replicate")
     h, w = img.shape[0], img.shape[1]
