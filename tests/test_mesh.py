@@ -329,3 +329,68 @@ def test_tileable_stream_honours_mesh(mesh, rng):
 
     dense = PipelineManager(steps).apply(frame)
     assert (out == np.asarray(dense)).all()
+
+
+SHARD_FUZZ_POOL = [
+    ("preprocessing.brightness_contrast", None),
+    ("preprocessing.gamma", None),
+    ("preprocessing.histogram_equalization", None),  # psum'd histogram
+    ("preprocessing.normalize", None),  # psum'd min/max
+    ("preprocessing.noise_reduction", None),  # halo stencil
+    ("preprocessing.clahe", {"grid_size": 8}),  # collective grid hists
+    ("segmentation.global_threshold", None),
+    ("segmentation.otsu", None),  # psum'd histogram
+    ("segmentation.opening", None),  # iterated halo
+    ("segmentation.closing", None),
+    ("segmentation.dilation", None),
+    ("segmentation.erosion", None),
+]
+
+
+@pytest.mark.parametrize("shard_seed", range(6))
+def test_fuzzed_spatial_sharded_matches_dense(mesh, shard_seed, rng):
+    """Random chains row-sharded over the 8-device mesh vs the dense host
+    path: interior bit-exact, whole frame >= 0.999 (first/last shard
+    border rows may use the mirrored extension) — the fixed sharded
+    tests' contract, fuzzed over schema-drawn parameters."""
+
+    import zlib
+
+    from tests.test_fuzz_parity import _draw_params, _scene
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    frng = np.random.default_rng(zlib.crc32(b"shard") + shard_seed)
+    shape = [(128, 96), (136, 120), (192, 160)][shard_seed % 3]
+    frame = _scene(shape, frng, color=False)
+
+    steps = []
+    for _ in range(int(frng.integers(2, 4))):
+        op, overrides = SHARD_FUZZ_POOL[int(frng.integers(len(SHARD_FUZZ_POOL)))]
+        params = _draw_params(op, shape, frng)
+        if op == "preprocessing.noise_reduction":
+            params["method"] = ("Gaussian", "Median")[int(frng.integers(2))]
+            params["ksize"] = int(frng.integers(1, 4)) * 2 + 1
+        if op in (
+            "segmentation.opening",
+            "segmentation.closing",
+            "segmentation.dilation",
+            "segmentation.erosion",
+        ):
+            params["iterations"] = int(frng.integers(1, 4))
+        if overrides:
+            params.update(overrides)
+        steps.append(
+            PipelineStep(
+                name=op.split(".")[-1],
+                op_id=op,
+                stage=Stage.PREPROCESSING if op.startswith("pre") else Stage.SEGMENTATION,
+                params=params,
+            )
+        )
+        get_impl(op)  # registry sanity
+
+    out = spatial_sharded_apply(steps, frame, mesh)
+    dense = PipelineManager(steps).apply_host(frame)
+    label = f"seed {shard_seed} chain={[(s.op_id, s.params) for s in steps]}"
+    assert (out[8:-8] == dense[8:-8]).all(), f"interior diverged: {label}"
+    assert (out == dense).mean() > 0.999, f"border rows diverged: {label}"
