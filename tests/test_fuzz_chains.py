@@ -181,3 +181,65 @@ def test_fuzzed_streaming_matches_dense(stream_seed):
             f"chain={[(s.op_id, s.params) for s in steps]}"
         ),
     )
+
+
+ND_SHAPES = [
+    (4, 49, 67),        # T,H,W gray stack
+    (3, 2, 40, 56),     # T,Z,H,W
+    (5, 33, 41, 3),     # T,H,W,BGR
+]
+
+
+@pytest.mark.parametrize("nd_seed", range(6))
+def test_fuzzed_nd_stack_matches_per_plane_golden(nd_seed):
+    """ND stacks take the flattened-vmap device path (every leading axis
+    batched, planes stay 2-D/BGR items); each plane must bit-match running
+    the golden chain on that plane alone — the reference's slice-wise
+    contract (processing/pipeline_manager.py:467-492), fuzzed."""
+
+    from yamimageprocessor_tpu.pipeline.manager import PipelineManager
+
+    rng = np.random.default_rng(zlib.crc32(b"nd") + nd_seed)
+    shape = ND_SHAPES[nd_seed % len(ND_SHAPES)]
+    color = shape[-1] == 3
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+
+    plane_shape = shape[-3:-1] if color else shape[-2:]
+    pool = [
+        op
+        for op in CHAIN_POOL
+        if not (color and op == "preprocessing.histogram_equalization")
+    ]
+    steps = []
+    for _ in range(int(rng.integers(2, 4))):
+        if rng.random() < 0.2:
+            steps.append(_median_step(rng))
+        else:
+            op = pool[int(rng.integers(len(pool)))]
+            steps.append(
+                PipelineStep(
+                    name=op.split(".")[-1],
+                    op_id=op,
+                    params=_draw_params(op, plane_shape, rng),
+                )
+            )
+
+    out = PipelineManager(steps).apply(img)
+    item_nd = 3 if color else 2
+    leading = img.shape[: img.ndim - item_nd]
+    # ops may change plane arity (BGR op chain ending in a mask drops the
+    # channel axis) but never the stack axes
+    assert out.shape[: len(leading)] == leading, (out.shape, img.shape)
+    flat_in = img.reshape((-1,) + img.shape[len(leading):])
+    flat_out = out.reshape((-1,) + out.shape[len(leading):])
+    assert flat_out.shape[0] == flat_in.shape[0]
+    for p in range(flat_in.shape[0]):
+        want = _golden_sequential(flat_in[p], steps)[-1]
+        np.testing.assert_array_equal(
+            flat_out[p],
+            want,
+            err_msg=(
+                f"nd {nd_seed} plane {p} shape={shape} "
+                f"chain={[(s.op_id, s.params) for s in steps]}"
+            ),
+        )
