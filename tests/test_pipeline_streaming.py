@@ -829,3 +829,47 @@ def test_unhashable_cache_token_disables_caching_gracefully():
         assert len(rec2.read_boxes) > 0  # nothing was cached
     finally:
         clear_source_stack_cache()
+
+
+@pytest.mark.performance
+def test_streaming_budget_wall_and_rss():
+    """The reference's only quantified perf artifact, ported verbatim:
+    a 2048x1536 float32 frame through a 2-step chain, tile 256^2, in
+    <3 s wall with peak-RSS delta <= max(4x result bytes, 500 MB) and no
+    materialization (/root/reference/tests/test_pipeline_streaming_large.py:166-198)."""
+
+    import resource
+    import time as _time
+
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+    from yamimageprocessor_tpu.pipeline.step import PipelineStep
+
+    h, w = 1536, 2048
+    rng = np.random.default_rng(3)
+    data = rng.random((h, w), dtype=np.float32)
+    record = _SyntheticStreamingRecord(data)
+    steps = [
+        PipelineStep(
+            name="add", function=lambda a: a + 1.5, supports_tiled_input=True
+        ),
+        PipelineStep(
+            name="scale", function=lambda a: a * 0.5, supports_tiled_input=True
+        ),
+    ]
+    out = np.zeros_like(data)
+
+    def paste(box, tile):
+        left, top, right, bottom = box
+        out[top:bottom, left:right] = tile
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    start = _time.perf_counter()
+    stream_steps_tiled(steps, record, paste, tile_size=(256, 256))
+    elapsed = _time.perf_counter() - start
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    np.testing.assert_allclose(out, (data + 1.5) * 0.5, rtol=0, atol=0)
+    assert elapsed < 3.0, f"streaming took {elapsed:.2f}s (budget 3.0s)"
+    delta_bytes = (rss_after - rss_before) * 1024  # ru_maxrss is KiB on Linux
+    budget = max(4 * out.nbytes, 500 * 1024 * 1024)
+    assert delta_bytes <= budget, f"RSS delta {delta_bytes/1e6:.0f} MB > budget"

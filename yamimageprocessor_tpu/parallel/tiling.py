@@ -189,6 +189,23 @@ def stream_steps_tiled(
             on_tile(box, np.asarray(image.read_region(box)))
         return
 
+    # custom host-function chains: steps that declare supports_tiled_input
+    # stream per-tile exactly like the reference (its PipelineStep.apply
+    # materializes tiled input UNLESS the step opts in,
+    # processing/pipeline_manager.py:92-111, and the packaged streaming
+    # path then applies each step tile-by-tile, :724-843).  Registry ops
+    # never take this branch — they stream halo-correctly below.
+    if all(
+        getattr(s, "impl", None) is None and getattr(s, "supports_tiled_input", False)
+        for s in enabled
+    ):
+        for box in iter_tile_boxes(width, height, tsize):
+            tile = np.asarray(image.read_region(box))
+            for step in enabled:
+                tile = step.apply(tile)
+            on_tile(box, tile)
+        return
+
     if not chain_tileable(enabled):
         shape = (
             image.infer_shape() if hasattr(image, "infer_shape") else image.shape
