@@ -99,12 +99,13 @@ def _checksum_loop(chain_fn, dyn, frames, iters: int):
     fn = jax.jit(looped)
     device_frames = jax.device_put(frames)
     n_lo, n_hi = iters, 3 * iters
-    checksum = int(np.asarray(fn(device_frames, n_hi)))  # compile + warm
-    assert checksum >= 0
+    # no separate warm call: _two_length_slope's first timed(n_hi) IS the
+    # compile+warm run, and every timed fetch doubles as the checksum gate
 
     def timed(n: int) -> float:
         start = time.perf_counter()
-        int(np.asarray(fn(device_frames, n)))
+        checksum = int(np.asarray(fn(device_frames, n)))
+        assert checksum >= 0
         return time.perf_counter() - start
 
     slope, inclusive = _two_length_slope(timed, n_lo, n_hi)

@@ -64,23 +64,24 @@ def test_fuzzed_chain_matches_sequential_golden(chain_seed):
 
     steps = []
     length = int(rng.integers(2, 5))
+    cur_shape = img.shape[:2]  # params clamp to the shape the step SEES
     for pos in range(length):
         roll = rng.random()
         if roll < 0.1:
             steps.append(_median_step(rng))
         elif roll < 0.2 and pos > 0:
             # reshaping op mid-chain: crop geometry from the CURRENT shape
-            cur_shape = _golden_sequential(img, steps)[-1].shape[:2]
             params = _draw_params("preprocessing.crop", cur_shape, rng)
             steps.append(
                 PipelineStep(name="crop", op_id="preprocessing.crop", params=params)
             )
         else:
             op = CHAIN_POOL[int(rng.integers(len(CHAIN_POOL)))]
-            params = _draw_params(op, shape, rng)
+            params = _draw_params(op, cur_shape, rng)
             steps.append(
                 PipelineStep(name=op.split(".")[-1], op_id=op, params=params)
             )
+        cur_shape = _golden_sequential(img, steps)[-1].shape[:2]
 
     chain = CompiledChain(steps, img.shape, img.dtype)
     outs = [np.asarray(o) for o in chain.run(img)]
@@ -97,27 +98,9 @@ def test_fuzzed_chain_matches_sequential_golden(chain_seed):
         )
 
 
-class _Record:
-    """Minimal tiled source (read_region/iter_tiles only)."""
-
-    def __init__(self, array: np.ndarray):
-        self._array = array
-        self.shape = array.shape
-        self.dtype = array.dtype
-
-    def read_region(self, box):
-        left, top, right, bottom = box
-        return np.array(self._array[top:bottom, left:right, ...], copy=True)
-
-    def iter_tiles(self, tile_size=None):
-        from yamimageprocessor_tpu.parallel.tiling import iter_tile_boxes
-
-        h, w = self._array.shape[:2]
-        for box in iter_tile_boxes(w, h, tile_size):
-            yield box, self.read_region(box)
-
-    def to_array(self):
-        return self._array
+# the streaming test's fake: its to_array() RAISES, so this fuzz also
+# proves the random chains never materialize the source
+from tests.test_pipeline_streaming import _SyntheticStreamingRecord as _Record
 
 
 STREAM_POOL = [

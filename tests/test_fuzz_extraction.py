@@ -99,28 +99,20 @@ def test_fuzzed_scalar_feature_families(seed):
     )
     np.testing.assert_allclose(har_d, har_g, rtol=1e-4, atol=1e-7)
 
-    hist_d = np.asarray(jax.jit(XD.histogram_features_j)(bgr))
-    from scipy.stats import kurtosis, skew
-
-    flat = (
-        EX._gray(bgr).ravel().astype(np.float64)
-        if hasattr(EX, "_gray")
-        else None
-    )
-    if flat is not None:
-        hist_g = np.array(
-            [flat.mean(), flat.var(), skew(flat), kurtosis(flat)]
-        )
-        np.testing.assert_allclose(hist_d, hist_g, rtol=1e-4, atol=1e-6)
-
-    mbs = int(rng.integers(2, 9))
-    fr_d = float(np.asarray(jax.jit(lambda im: XD.fractal_feature_j(im, min_box_size=mbs))(bgr)))
+    from yamimageprocessor_tpu.ops import color as Col
+    from yamimageprocessor_tpu.ops import hogf as HG
     from yamimageprocessor_tpu.ops import texture as TX
 
-    fr_g = (
-        TX.fractal_dimension(EX._binary(bgr, maxval=1), mbs)
-        if hasattr(TX, "fractal_dimension")
-        else None
+    hist_d = np.asarray(jax.jit(XD.histogram_features_j)(bgr))
+    hs = TX.histogram_stats_np(Col.bgr_to_gray_np(bgr))
+    hist_g = np.array([hs["mean"], hs["variance"], hs["skewness"], hs["kurtosis"]])
+    np.testing.assert_allclose(hist_d, hist_g, rtol=1e-3, atol=1e-4)
+
+    mbs = int(rng.integers(2, 9))
+    fr_d = float(
+        np.asarray(
+            jax.jit(lambda im: XD.fractal_feature_j(im, min_box_size=mbs))(bgr)
+        )
     )
-    if fr_g is not None:
-        assert abs(fr_d - float(fr_g)) < 1e-3
+    fr_g = float(HG.fractal_dimension(EX._binary(bgr, maxval=1), mbs))
+    assert abs(fr_d - fr_g) < 1e-3, (fr_d, fr_g, mbs)

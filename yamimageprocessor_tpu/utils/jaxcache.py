@@ -36,12 +36,14 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None) -> str:
     platforms = os.environ.get("JAX_PLATFORMS", jax.config.jax_platforms or "")
     if "cpu" in platforms.lower():
         return ""
-    # The env string alone fails OPEN on hosts where jax silently defaults
-    # to CPU (no accelerator, JAX_PLATFORMS unset) — exactly the machines
-    # where a shared CPU AOT cache is the documented SIGILL hazard.  The
-    # call sites are all about to trace/compile anyway, so initializing
-    # the backend here costs nothing extra.
-    if jax.default_backend() == "cpu":
+    # An EXPLICIT non-CPU platform (axon/tpu) is trusted as-is — no backend
+    # init, so host-only CLI subcommands stay cheap and never contend for
+    # the chip lock.  Only the ambiguous case (platforms unset, where jax
+    # may silently default to CPU — the machines where a shared CPU AOT
+    # cache is the documented SIGILL hazard) pays a backend init to find
+    # out; there the resolved backend is CPU iff no accelerator exists, so
+    # the init is cheap and lock-free.
+    if not platforms and jax.default_backend() == "cpu":
         return ""
 
     target = str(
