@@ -433,3 +433,72 @@ def test_sepconv_pallas_interpret_parity():
             sep_filter_u8_pallas(jnp.asarray(imgs), taps, taps, interpret=True)
         )
         assert (out == ref).all(), shape
+
+
+def test_median25_network_exhaustive_zero_one():
+    """0-1 principle proof of the ksize=5 median construction: sorting the
+    window's columns then rows and taking the forgetful median of the 13
+    rank-feasible positions computes the median of 25 on ALL 2^25 binary
+    inputs (a comparator network correct on every 0-1 input is correct on
+    every input).  Guards _SORT5_PAIRS and _MEDIAN25_CANDIDATES."""
+
+    import itertools
+
+    from yamimageprocessor_tpu.ops.filters import (
+        _MEDIAN25_CANDIDATES,
+        _SORT5_PAIRS,
+    )
+
+    for bits in itertools.product([0, 1], repeat=5):
+        v = list(bits)
+        for a, b in _SORT5_PAIRS:
+            v[a], v[b] = min(v[a], v[b]), max(v[a], v[b])
+        assert v == sorted(bits)
+
+    mn, mx = np.logical_and, np.logical_or
+
+    def sort5(v):
+        v = list(v)
+        for a, b in _SORT5_PAIRS:
+            lo, hi = mn(v[a], v[b]), mx(v[a], v[b])
+            v[a], v[b] = lo, hi
+        return v
+
+    CHUNK = 20
+    low = np.arange(1 << CHUNK, dtype=np.uint32)
+    low_bits = [((low >> b) & 1).astype(bool) for b in range(CHUNK)]
+    for hi in range(1 << 5):
+        wires = [
+            low_bits[b]
+            if b < CHUNK
+            else np.full(1 << CHUNK, bool((hi >> (b - CHUNK)) & 1))
+            for b in range(25)
+        ]
+        m = [[wires[r * 5 + c] for c in range(5)] for r in range(5)]
+        for c in range(5):
+            col = sort5([m[r][c] for r in range(5)])
+            for r in range(5):
+                m[r][c] = col[r]
+        for r in range(5):
+            m[r] = sort5(m[r])
+        vals = [m[i][j] for i, j in _MEDIAN25_CANDIDATES]
+
+        def dropmm(win):
+            win = list(win)
+            for i in range(1, len(win)):
+                lo, hi = mn(win[0], win[i]), mx(win[0], win[i])
+                win[0], win[i] = lo, hi
+            for i in range(1, len(win) - 1):
+                lo, hi = mn(win[i], win[-1]), mx(win[i], win[-1])
+                win[i], win[-1] = lo, hi
+            return win[1:-1]
+
+        sel = vals[:8]
+        for tap in vals[8:]:
+            sel = dropmm(sel)
+            sel.append(tap)
+        sel = dropmm(sel)
+        ones = np.zeros(1 << CHUNK, np.int16)
+        for b in range(25):
+            ones += wires[b].astype(np.int16)
+        assert np.array_equal(sel[0], ones >= 13), f"hi={hi}"
