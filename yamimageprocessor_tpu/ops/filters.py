@@ -255,24 +255,38 @@ def median_j(img, ksize: int):
         assert len(sel) == 1
         return sel[0].astype(img.dtype)
 
-    taps = [
-        work[j : j + h, i : i + w] for j in range(ksize) for i in range(ksize)
-    ]
-
     if ksize == 3:
         mn, mx = jnp.minimum, jnp.maximum
 
-        def sort3(a, b, c):
-            lo1, hi1 = mn(a, b), mx(a, b)
-            lo2, hi2 = mn(hi1, c), mx(hi1, c)
-            lo3, mid = mn(lo1, lo2), mx(lo1, lo2)
-            return lo3, mid, hi2
+        def mid3(a, b, c):
+            return mx(mn(a, b), mn(mx(a, b), c))
 
-        mins, meds, maxs = zip(*(sort3(*taps[k : k + 3]) for k in (0, 3, 6)))
-        hi_of_mins = mx(mx(mins[0], mins[1]), mins[2])
-        med_of_meds = sort3(meds[0], meds[1], meds[2])[1]
-        lo_of_maxs = mn(mn(maxs[0], maxs[1]), maxs[2])
-        return sort3(hi_of_mins, med_of_meds, lo_of_maxs)[1].astype(img.dtype)
+        # shared-column variant of the classic median-of-9 selection: the
+        # vertical 3-sort runs once per COLUMN on full-width planes (3 CEs
+        # shared by the 3 overlapping windows) and the candidate positions
+        # after column sorting need only max(row0)/mid(row1)/min(row2) —
+        # 13 exchanges/pixel vs 19 for the per-window network (same 0-1
+        # exhaustive proof pattern as the 5x5 construction).
+        v0, v1, v2 = (work[j : j + h, :] for j in range(3))
+        lo1, hi1 = mn(v0, v1), mx(v0, v1)
+        lo2, hi2 = mn(hi1, v2), mx(hi1, v2)
+        smin, smid = mn(lo1, lo2), mx(lo1, lo2)
+        smax = hi2
+
+        def shifts(p):
+            return p[:, 0:w], p[:, 1 : 1 + w], p[:, 2 : 2 + w]
+
+        a0, a1, a2 = shifts(smin)
+        hi_of_mins = mx(mx(a0, a1), a2)
+        b0, b1, b2 = shifts(smid)
+        med_of_mids = mid3(b0, b1, b2)
+        c0, c1, c2 = shifts(smax)
+        lo_of_maxs = mn(mn(c0, c1), c2)
+        return mid3(hi_of_mins, med_of_mids, lo_of_maxs).astype(img.dtype)
+
+    taps = [
+        work[j : j + h, i : i + w] for j in range(ksize) for i in range(ksize)
+    ]
 
     # forgetful selection (the standard GPU median-filter construction):
     # hold a window of W = (n+3)/2 taps, push its min to the front and max
