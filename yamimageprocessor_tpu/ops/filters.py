@@ -154,9 +154,22 @@ def sep_filter_j(img, taps_y, taps_x, border: str = "reflect101"):
     ry, rx = ky // 2, kx // 2
     work = _pad_j(img, ry, rx, border).astype(jnp.float32)
     h, w = img.shape[0], img.shape[1]
-    acc = jnp.zeros((work.shape[0], w) + img.shape[2:], dtype=jnp.float32)
-    for i in range(kx):
-        acc = acc + taps_x[i] * jnp.asarray(work[:, i : i + w])
+    if kx >= 13:
+        # wide kernels: every work[:, i:i+w] slice is a cross-lane shuffle
+        # on TPU (minor-dim offset), which dominates above ~13 taps — run
+        # the horizontal pass as a VERTICAL pass on the transposed frame
+        # (sublane shifts are near-free) and transpose back.  Per-element
+        # FMA order is unchanged, so the result stays bit-identical to the
+        # direct form and to the numpy twin.
+        workT = jnp.swapaxes(work, 0, 1)
+        accT = jnp.zeros((w, work.shape[0]) + img.shape[2:], dtype=jnp.float32)
+        for i in range(kx):
+            accT = accT + taps_x[i] * workT[i : i + w]
+        acc = jnp.swapaxes(accT, 0, 1)
+    else:
+        acc = jnp.zeros((work.shape[0], w) + img.shape[2:], dtype=jnp.float32)
+        for i in range(kx):
+            acc = acc + taps_x[i] * jnp.asarray(work[:, i : i + w])
     out = jnp.zeros((h, w) + img.shape[2:], dtype=jnp.float32)
     for j in range(ky):
         out = out + taps_y[j] * acc[j : j + h]
