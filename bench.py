@@ -272,6 +272,55 @@ def _extra_segmentation_fps() -> None:
     )
 
 
+def _extra_kernel_micro() -> None:
+    """Hot-kernel micro rates (loop-carried slopes @2048² uint8): the
+    shared-column median networks and the transposed-pass unsharp —
+    PARITY.md's table rows, re-measured on the scoreboard run."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.filters import median_j
+    from yamimageprocessor_tpu.ops.registry import get_impl
+
+    import jax
+
+    side = 2048
+    img = np.random.default_rng(0).integers(0, 256, (side, side), np.uint8)
+    dev = jax.device_put(img)
+    gpix = side * side / 1e9
+    rates = {}
+
+    def carried_rate(fn, n_lo: int, n_hi: int) -> float:
+        # loop-CARRIED (each iteration consumes the previous output):
+        # _barrier_loop's per-iteration barrier copy swamps microsecond
+        # kernels, so micro rates use the headline's carried form instead
+        def looped(x, n):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, v: fn(jax.lax.optimization_barrier(v)), x
+            )
+            return jnp.sum(out.astype(jnp.uint32))
+
+        run = jax.jit(looped)
+
+        def timed(n):
+            start = time.perf_counter()
+            int(np.asarray(run(dev, n)))
+            return time.perf_counter() - start
+
+        slope, inclusive = _two_length_slope(timed, n_lo, n_hi)
+        return slope if slope > 0 else inclusive
+
+    rates["median3"] = round(gpix / carried_rate(lambda v: median_j(v, 3), 200, 600), 2)
+    rates["median5"] = round(gpix / carried_rate(lambda v: median_j(v, 5), 60, 180), 2)
+    impl = get_impl("preprocessing.sharpen")
+    static, dyn = impl.split_params({"strength": 1.0}, img.shape)
+    dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+    rates["sharpen19"] = round(
+        gpix / carried_rate(lambda v: impl.device_fn(v, dyn_j, **static), 60, 180), 2
+    )
+    _stderr({"extra": "kernel_micro", "unit": "GPix/s", **rates})
+
+
 def _extra_batched_clahe() -> None:
     """BASELINE config 2: 64-frame batch through the fused
     Gaussian+CLAHE+color-transform chain (frames generated on device —
@@ -619,6 +668,7 @@ def main() -> None:
         signal.signal(signal.SIGALRM, _alarm)
     for name, extra, budget in (
         ("segmentation_fps", _extra_segmentation_fps, 240),
+        ("kernel_micro", _extra_kernel_micro, 240),
         ("batched_clahe", _extra_batched_clahe, 240),
         ("extraction", _extra_extraction, 300),
         ("gigapixel", _extra_gigapixel, 420),
