@@ -524,7 +524,12 @@ def _extra_gigapixel() -> None:
 
     # device-resident result mode: D2H deferred to save-time, so this is
     # the sustained COMPUTE rate of the streaming runtime (the end-to-end
-    # number above is relay-link-bound; see PARITY.md transfer profile)
+    # number above is relay-link-bound; see PARITY.md transfer profile).
+    # One warm sweep is ~35 ms of chain work behind a fixed ~0.1-0.15 s
+    # relay sync, so a single timed sweep reports mostly the sync — the
+    # sustained rate is the SLOPE between 1-sweep and 3-sweep timings
+    # (identical methodology to the headline's two-length loop slope);
+    # the latency-inclusive single-sweep rate is disclosed alongside.
     import jax
     import jax.numpy as jnp
 
@@ -539,25 +544,36 @@ def _extra_gigapixel() -> None:
 
     stream_steps_tiled(steps, _Source(), lambda *_: None, device_sink=device_sink)
     int(np.asarray(acc))  # warm
-    # source stacks are device-resident from the sweeps above (same token +
-    # geometry), and results stay on device: this is the streaming ENGINE's
-    # sustained compute rate, the number the link cannot touch — on
-    # directly-attached hardware even cold streaming approaches it
-    # (PCIe >10 GB/s vs this relay's ~40 MB/s; see PARITY.md)
-    done = 0
-    acc = None
-    start = time.perf_counter()
-    stream_steps_tiled(steps, _Source(), lambda *_: None, device_sink=device_sink)
-    int(np.asarray(acc))  # force every batch (checksums chain on device)
-    elapsed = time.perf_counter() - start
+
+    def timed_sweeps(k: int) -> float:
+        nonlocal done, acc
+        done = 0
+        acc = None
+        start = time.perf_counter()
+        for _ in range(k):
+            stream_steps_tiled(
+                steps, _Source(), lambda *_: None, device_sink=device_sink
+            )
+        int(np.asarray(acc))  # one blocking fetch: checksums chain on device
+        return time.perf_counter() - start
+
+    pix_per_sweep = side * side
+    t_lo = min(timed_sweeps(1) for _ in range(2))
+    t_hi = min(timed_sweeps(3) for _ in range(2))
+    per_sweep = (t_hi - t_lo) / 2
+    if per_sweep <= 0:  # relay jitter swamped the slope: fall back
+        per_sweep = t_hi / 3
     _stderr(
         {
             "extra": "gigapixel_compute",
-            "value": round(done / 1e9 / elapsed, 4),
+            "value": round(pix_per_sweep / 1e9 / per_sweep, 4),
+            "single_sweep_inclusive": round(pix_per_sweep / 1e9 / t_lo, 4),
             "unit": "GPix/s",
             "config": (
                 "device-resident results (D2H deferred to save-time), "
-                "warm device-resident source stacks"
+                "warm device-resident source stacks; value = 1-vs-3-sweep "
+                "slope (cancels the fixed relay sync), inclusive = single "
+                "timed sweep"
             ),
         }
     )
