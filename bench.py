@@ -239,9 +239,17 @@ def _extra_parity() -> None:
     # partial tally instead of dying mid-case with no line at all
     passed, total = run_parity_cases(time_budget_s=1400.0)
     payload = {"extra": "parity", "passed": passed, "total": total}
+    # hard floor: a shrinking time budget must not quietly reduce audit
+    # coverage (VERDICT r3 weak #4) — below the floor the audit FAILS
+    # loudly instead of reporting a smaller, greener scoreboard
+    floor = min(70, planned_total())
     if total < planned_total():
         payload["truncated"] = True
         payload["planned"] = planned_total()
+    if total < floor:
+        payload["floor"] = floor
+        payload["floor_met"] = False
+        payload["FAILED"] = f"audit ran {total} cases, floor is {floor}"
     _stderr(payload)
 
 
@@ -579,6 +587,93 @@ def _extra_gigapixel() -> None:
     )
 
 
+def _extra_segmentation_batched() -> None:
+    """Multi-frame throughput for the FULL segmentation chain: the batch
+    engine vmaps otsu+open+close+watershed over a frame stack (the
+    reference's folder flow, ``ui/segmentation.py:956-988``, runs frames
+    one by one) — reported as aggregate frames/s."""
+
+    import jax
+
+    from yamimageprocessor_tpu.models.stages import segmentation_steps
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    side, nframes = 2048, 8
+    base = _dense_scene(side)
+    # distinct frames (shifted scenes): identical frames would let XLA
+    # fold nothing, but keep the flood work honest per frame
+    frames = np.stack([np.roll(base, 17 * k, axis=1) for k in range(nframes)])
+    steps = segmentation_steps(watershed=True)
+    chain = get_compiled_chain(steps, frames.shape, frames.dtype, batch=nframes)
+    fn, dyn = chain.pure_callable()
+
+    measure = _barrier_loop(lambda x, d: fn(x, d)[-1], dyn, 2, 6)
+    per_batch = measure(jax.device_put(frames))
+    _stderr(
+        {
+            "extra": "segmentation_batched",
+            "value": round(nframes / per_batch, 3),
+            "unit": "frames/s",
+            "frames": nframes,
+            "config": f"otsu+open+close+watershed @{side}^2 x{nframes} vmap",
+        }
+    )
+
+
+def _extra_interactive_latency() -> None:
+    """SURVEY §3.2 hot path: edit a parameter -> re-run the chain ->
+    preview, with the source device-resident (the pane keeps registered
+    sources on device).  Wall LATENCY per tweak, sync included — each
+    tweak uses a fresh slider value so nothing is served from a result
+    cache.  Reference flow: ``ui/preprocessing.py:1863-1977``."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.models.stages import preprocess_steps
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    side = 2048
+    frame = np.random.default_rng(2).integers(0, 256, (side, side), np.uint8)
+    steps = preprocess_steps()
+    chain = get_compiled_chain(steps, frame.shape, frame.dtype)
+    fn, dyn = chain.pure_callable()
+    dev = jax.device_put(frame)
+
+    @jax.jit
+    def tweak(x, d):
+        out = fn(x, d)[-1]
+        # preview decimation on device (the pane's <=512px pyramid level):
+        # the fetch ships 512^2, not the full frame
+        return out[:: side // 512, :: side // 512]
+
+    def run_once(alpha: float) -> float:
+        d = [dict(s) for s in dyn]
+        for s in d:
+            if "alpha" in s:
+                s["alpha"] = jnp.float32(alpha)
+        start = time.perf_counter()
+        np.asarray(tweak(dev, d))  # dispatch + compute + preview fetch
+        return time.perf_counter() - start
+
+    run_once(1.0)  # compile + warm
+    lats = [run_once(1.0 + 0.01 * k) for k in range(12)]
+    lats_ms = sorted(1e3 * x for x in lats)
+    _stderr(
+        {
+            "extra": "interactive_latency_2048",
+            "value": round(lats_ms[len(lats_ms) // 2], 2),
+            "p10_ms": round(lats_ms[1], 2),
+            "p90_ms": round(lats_ms[-2], 2),
+            "unit": "ms",
+            "config": (
+                "warm tweak->preview @2048^2, device-resident source, "
+                "512^2 preview fetch, 12 distinct slider values"
+            ),
+        }
+    )
+
+
 def _extra_watershed_4096() -> None:
     """BASELINE config 3 at full size: the 4096^2 dense-scene chain (the
     r2 budget test had never actually run — VERDICT weak #2)."""
@@ -684,13 +779,16 @@ def main() -> None:
         signal.signal(signal.SIGALRM, _alarm)
     for name, extra, budget in (
         ("segmentation_fps", _extra_segmentation_fps, 240),
+        ("segmentation_batched", _extra_segmentation_batched, 300),
+        ("interactive_latency", _extra_interactive_latency, 180),
         ("kernel_micro", _extra_kernel_micro, 240),
         ("batched_clahe", _extra_batched_clahe, 240),
         ("extraction", _extra_extraction, 300),
         ("gigapixel", _extra_gigapixel, 420),
         ("watershed_4096", _extra_watershed_4096, 900),  # big Mosaic compile
-        # parity LAST (49 device-case compiles — the slowest extra must not
-        # starve the quick throughput rows) with a deadline under the alarm
+        # parity LAST (the slowest extra — ~70 device-case compiles — must
+        # not starve the quick throughput rows) with a deadline under the
+        # alarm
         ("parity", _extra_parity, 1500),
     ):
         try:

@@ -7,6 +7,7 @@ vs f64 tolerance.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -148,8 +149,9 @@ def _solidity_golden(bgr):
     return RP.solidity_np(labels, meas), labels, meas
 
 
-def test_hull_vertices_bit_exact_vs_host_chain():
-    """Device monotone chain must emit the HOST's exact vertex list."""
+def test_hull_pixel_areas_bit_exact_vs_host_scanline():
+    """Device gift-wrap hull areas must equal the host scan-line fill
+    (including degenerate hulls, where both reduce to the member count)."""
 
     rng = np.random.default_rng(11)
     img = np.zeros((80, 90), np.uint8)
@@ -167,9 +169,10 @@ def test_hull_vertices_bit_exact_vs_host_chain():
 
     labels = label_np(EX._binary(bgr) > 0)
     meas = RP.measure_np(labels)
-    verts, nverts = RP.hull_vertices_j(labels, 64, XD.MAX_HULL_VERTICES)
-    verts = np.asarray(verts)
-    nverts = np.asarray(nverts)
+    mn, mx, has = RP.row_extremes_j(jnp.asarray(labels), 64)
+    areas, saturated = RP.hull_pixel_areas_j(mn, mx, has)
+    areas = np.asarray(areas)
+    assert not np.asarray(saturated)[1 : meas.count + 1].any()
     for region in range(1, meas.count + 1):
         minr, minc, maxr, maxc = meas.bbox[region]
         crop = labels[minr:maxr, minc:maxc] == region
@@ -185,12 +188,11 @@ def test_hull_vertices_bit_exact_vs_host_chain():
             ]
         )
         hull = RP.convex_hull_points(cand)
-        n = int(nverts[region])
         if len(hull) <= 2:
-            assert n <= 2, f"region {region}: device hull not degenerate"
+            golden = float(meas.area[region])
         else:
-            assert n == len(hull), f"region {region}: vertex count"
-            np.testing.assert_array_equal(verts[region, :n], hull)
+            golden = RP._hull_pixel_area(hull.astype(np.float64))
+        assert areas[region] == golden, f"region {region}: hull area"
 
 
 def test_solidity_from_hulls_bit_exact(scene):

@@ -17,7 +17,7 @@ import tempfile
 import threading
 from collections.abc import Mapping, MutableMapping
 from pathlib import Path
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 LOGGER = logging.getLogger(__name__)
 
@@ -299,30 +299,39 @@ class SettingsManager:
     def set_autosave_workspace(self, path: Path | str | None) -> None:
         self.set("autosave/workspace", "" if path is None else str(Path(path)))
 
-    def autosave_preferences(self) -> Dict[str, Any]:
-        return {
-            "enabled": self.autosave_enabled(),
-            "interval_seconds": self.autosave_interval(),
-            "backup_retention": self.autosave_backup_retention(),
-            "workspace": str(self.autosave_workspace() or ""),
-        }
+    # one spec row per preference: (pref name, reader, writer).  Both the
+    # snapshot dict and the keyword-update loop below derive from this
+    # table, so adding a preference is a single row.
+    _AUTOSAVE_PREFS: Tuple[Tuple[str, str, str], ...] = (
+        ("enabled", "autosave_enabled", "set_autosave_enabled"),
+        ("interval_seconds", "autosave_interval", "set_autosave_interval"),
+        (
+            "backup_retention",
+            "autosave_backup_retention",
+            "set_autosave_backup_retention",
+        ),
+        ("workspace", "autosave_workspace", "set_autosave_workspace"),
+    )
 
-    def update_autosave_preferences(
-        self,
-        *,
-        enabled: bool | None = None,
-        interval_seconds: float | None = None,
-        backup_retention: int | None = None,
-        workspace: Path | str | None = None,
-    ) -> None:
-        if enabled is not None:
-            self.set_autosave_enabled(enabled)
-        if interval_seconds is not None:
-            self.set_autosave_interval(interval_seconds)
-        if backup_retention is not None:
-            self.set_autosave_backup_retention(backup_retention)
-        if workspace is not None:
-            self.set_autosave_workspace(workspace)
+    def autosave_preferences(self) -> Dict[str, Any]:
+        snap: Dict[str, Any] = {
+            name: getattr(self, reader)()
+            for name, reader, _ in self._AUTOSAVE_PREFS
+        }
+        snap["workspace"] = str(snap["workspace"] or "")
+        return snap
+
+    def update_autosave_preferences(self, **prefs: Any) -> None:
+        """Apply any subset of the preference table; ``None`` leaves a
+        preference untouched, unknown names raise."""
+
+        writers = {name: setter for name, _, setter in self._AUTOSAVE_PREFS}
+        unknown = set(prefs) - set(writers)
+        if unknown:
+            raise TypeError(f"unknown autosave preference(s): {sorted(unknown)}")
+        for name, value in prefs.items():
+            if value is not None:
+                getattr(self, writers[name])(value)
 
     # ------------------------------------------------------------------
     def _flush_locked(self) -> None:

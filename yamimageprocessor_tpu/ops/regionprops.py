@@ -4,16 +4,17 @@ Reference usage: ``core/extraction.py:57-87`` (area, perimeter, centroid,
 eccentricity, solidity, extent, orientation per region).  skimage is not a
 dependency — the formulas are re-implemented:
 
-* area / centroid / bbox / central moments — label-indexed segment sums
-  (``jax.ops.segment_sum`` on device; ``np.add.at`` golden twin), the
-  TPU-native replacement for per-region python loops;
+* area / centroid / bbox / central moments — one-hot matmul reductions on
+  the MXU (``np.add.at`` golden twin), the TPU-native replacement for
+  per-region python loops (and for TPU scatters, which serialize);
 * orientation / eccentricity — inertia-tensor eigenvalues from central
   moments (skimage's definitions: orientation in (-pi/2, pi/2] measured
   against the row axis; eccentricity sqrt(1 - l2/l1));
 * perimeter — skimage's weighted border-pixel categories (weights 1,
   sqrt(2), (1+sqrt(2))/2 over a [[10,2],[4,1]] category convolution);
-* solidity — area / convex area, the hull rasterized on the host per
-  region (a host finalization, as in the reference).
+* solidity — area / convex area; the hull pixel count runs on device too
+  (:func:`hull_pixel_areas_j`, batched gift wrapping over per-row column
+  extremes with exact int32 arithmetic), bit-matching the host scan-line.
 """
 from __future__ import annotations
 
@@ -175,78 +176,172 @@ def perimeters_np(labels: np.ndarray, n: int) -> np.ndarray:
 
 
 def measure_j(labels, max_regions: int):
-    """Device twin: segment sums with a static region capacity.
+    """Device twin: per-region reductions with a static region capacity.
 
     Returns a dict of (max_regions+1,) arrays; entries past the true count
-    are zero.  Hull area stays a host-side finalization (over device-
-    extracted vertices, :func:`hull_vertices_j`).
+    are zero.
 
-    TPU scatters serialize per index, so the reductions are PACKED: one
-    (N, 3) sum for {area, Σr, Σc}, one (N, 2) min and max for the bbox,
-    and one (N, 3) sum for the central moments — 5 scatters instead of 10
-    (plus the perimeter's, folded in by :func:`measure_with_perimeter_j`).
+    TPU scatters serialize per index (57 ms/MPix measured for the old
+    ``segment_sum`` formulation), so the reductions run as ONE-HOT MATMULS
+    on the MXU instead: per row-chunk, a (pixels, regions) one-hot
+    contracts against a (pixels, 7) value matrix — sub-millisecond for the
+    same frame.  Moments are accumulated relative to each region's
+    bbox-center (known before the matmul from the row-extreme pass), so
+    f32 sums keep centered-moment precision without a second pass.
     """
 
-    return _measure_packed(labels, max_regions, extra=None)
+    return _measure_packed(labels, max_regions, extra=None)[0]
 
 
-def _measure_packed(labels, max_regions: int, extra):
+def row_extremes_j(labels, max_regions: int):
+    """Per-(region, row) column extremes — (mn, mx, has), each
+    (max_regions+1, H).  ``mn``/``mx`` are the leftmost/rightmost columns
+    of the region on that row; ``has`` marks rows the region occupies.
+    Computed as a fused broadcast-compare-select reduce over W, chunked by
+    rows so nothing near (H, W, regions) ever materializes."""
+
     import jax
     import jax.numpy as jnp
 
     labels = labels.astype(jnp.int32)
     h, w = labels.shape
-    rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).ravel()
-    cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).ravel()
-    flat = jnp.clip(labels.ravel(), 0, max_regions)
     nseg = max_regions + 1
+    reg = jnp.arange(nseg, dtype=jnp.int32)
+    big = jnp.int32(1) << 29
 
-    s1 = jax.ops.segment_sum(
-        jnp.stack([jnp.ones_like(rr), rr, cc], axis=1), flat, num_segments=nseg
-    )
-    area, sum_r, sum_c = s1[:, 0], s1[:, 1], s1[:, 2]
+    rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)))
+    nchunks = -(-h // rows)
+    hp = nchunks * rows
+    # pad rows with -1 (matches no region, including background lane 0)
+    labp = jnp.pad(labels, ((0, hp - h), (0, 0)), constant_values=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)[..., None]
+
+    def body(i, acc):
+        mn_acc, mx_acc = acc
+        chunk = jax.lax.dynamic_slice(labp, (i * rows, 0), (rows, w))
+        eq = chunk[:, :, None] == reg  # (rows, W, nseg), fused into reduces
+        mn = jnp.min(jnp.where(eq, cols, big), axis=1)
+        mx = jnp.max(jnp.where(eq, cols, -1), axis=1)
+        mn_acc = jax.lax.dynamic_update_slice(mn_acc, mn, (i * rows, 0))
+        mx_acc = jax.lax.dynamic_update_slice(mx_acc, mx, (i * rows, 0))
+        return mn_acc, mx_acc
+
+    mn0 = jnp.zeros((hp, nseg), jnp.int32)
+    mx0 = jnp.zeros((hp, nseg), jnp.int32)
+    mn, mx = jax.lax.fori_loop(0, nchunks, body, (mn0, mx0))
+    mn = mn[:h].T
+    mx = mx[:h].T
+    return mn, mx, mx >= 0
+
+
+def _measure_packed(labels, max_regions: int, extra):
+    """(feats dict, (mn, mx, has) row extremes) — shared by the measure
+    entry points and the device hull-area kernel (which consumes the same
+    extremes, so one pass serves both)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    labels = labels.astype(jnp.int32)
+    h, w = labels.shape
+    nseg = max_regions + 1
+    lab = jnp.clip(labels, 0, max_regions)
+    big = jnp.int32(1) << 29
+
+    mn, mx, has = row_extremes_j(lab, max_regions)
+    t = jnp.arange(h, dtype=jnp.int32)[None, :]
+    minr = jnp.min(jnp.where(has, t, big), axis=1)
+    maxr = jnp.max(jnp.where(has, t, -1), axis=1)
+    minc = jnp.min(jnp.where(has, mn, big), axis=1)
+    maxc = jnp.max(jnp.where(has, mx, -1), axis=1)
+    present = maxr >= 0
+    # bbox centers: the moment-shift origin (|dr| <= bbox_height/2 keeps
+    # the f32 matmul sums in centered-moment precision)
+    s_r = jnp.where(present, (minr + maxr).astype(jnp.float32) * 0.5, 0.0)
+    s_c = jnp.where(present, (minc + maxc).astype(jnp.float32) * 0.5, 0.0)
+
+    sums = _moment_sums_matmul(lab, extra, s_r, s_c, nseg)
+    area = sums[:, 0]
+    sdr, sdc = sums[:, 1], sums[:, 2]
     safe = jnp.maximum(area, 1.0)
-    cen_r = sum_r / safe
-    cen_c = sum_c / safe
-
-    rc = jnp.stack([rr, cc], axis=1)
-    mins = jax.ops.segment_min(rc, flat, num_segments=nseg)
-    maxs = jax.ops.segment_max(rc, flat, num_segments=nseg)
-    minr, minc = mins[:, 0], mins[:, 1]
-    maxr, maxc = maxs[:, 0], maxs[:, 1]
-
-    dr = rr - cen_r[flat]
-    dc = cc - cen_c[flat]
-    mu_vals = [dr * dr, dc * dc, dr * dc]
-    if extra is not None:
-        mu_vals.append(extra)
-    s2 = jax.ops.segment_sum(
-        jnp.stack(mu_vals, axis=1), flat, num_segments=nseg
-    )
-
     feats = {
         "area": area,
-        "centroid_r": cen_r,
-        "centroid_c": cen_c,
-        "min_r": jnp.where(area > 0, minr, 0.0),
-        "min_c": jnp.where(area > 0, minc, 0.0),
-        "max_r": jnp.where(area > 0, maxr, -1.0),
-        "max_c": jnp.where(area > 0, maxc, -1.0),
-        "mu20": s2[:, 0],
-        "mu02": s2[:, 1],
-        "mu11": s2[:, 2],
+        "centroid_r": s_r + sdr / safe,
+        "centroid_c": s_c + sdc / safe,
+        "min_r": jnp.where(present, minr.astype(jnp.float32), 0.0),
+        "min_c": jnp.where(present, minc.astype(jnp.float32), 0.0),
+        "max_r": jnp.where(present, maxr.astype(jnp.float32), -1.0),
+        "max_c": jnp.where(present, maxc.astype(jnp.float32), -1.0),
+        # shift identity: mu20 = Σdr² - (Σdr)²/area for dr about ANY
+        # per-region constant (here the bbox center)
+        "mu20": sums[:, 3] - sdr * sdr / safe,
+        "mu02": sums[:, 4] - sdc * sdc / safe,
+        "mu11": sums[:, 5] - sdr * sdc / safe,
     }
     if extra is not None:
-        feats["perimeter"] = s2[:, 3].at[0].set(0.0)
-    return feats
+        feats["perimeter"] = sums[:, 6].at[0].set(0.0)
+    return feats, (mn, mx, has)
+
+
+def _moment_sums_matmul(lab, pw, s_r, s_c, nseg: int):
+    """(nseg, 7) per-region sums of [1, dr, dc, dr², dc², dr·dc, pw] via
+    chunked one-hot matmuls (MXU), dr/dc measured from the per-region
+    shift origins ``s_r``/``s_c`` (gathered per pixel by a one-hot matvec
+    — no TPU gather)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = lab.shape
+    reg = jnp.arange(nseg, dtype=jnp.int32)
+    rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)))
+    nchunks = -(-h // rows)
+    hp = nchunks * rows
+    # pad rows with -1: they match NO lane, so padding contributes nothing
+    labp = jnp.pad(lab, ((0, hp - h), (0, 0)), constant_values=-1)
+    pwp = (
+        jnp.zeros((hp, w), jnp.float32)
+        if pw is None
+        else jnp.pad(pw.astype(jnp.float32), ((0, hp - h), (0, 0)))
+    )
+    ccf = jax.lax.broadcasted_iota(jnp.float32, (rows, w), 1).ravel()
+
+    def body(i, acc):
+        chunk = jax.lax.dynamic_slice(labp, (i * rows, 0), (rows, w))
+        flat = chunk.reshape(-1)
+        rrf = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + i * rows
+        ).reshape(-1).astype(jnp.float32)
+        pwc = jax.lax.dynamic_slice(pwp, (i * rows, 0), (rows, w)).reshape(-1)
+        onehot = (flat[:, None] == reg[None, :]).astype(jnp.float32)
+        dr = rrf - onehot @ s_r
+        dc = ccf - onehot @ s_c
+        vals = jnp.stack(
+            [jnp.ones_like(dr), dr, dc, dr * dr, dc * dc, dr * dc, pwc],
+            axis=1,
+        )
+        return acc + onehot.T @ vals
+
+    return jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((nseg, 7), jnp.float32)
+    )
 
 
 def measure_with_perimeter_j(labels, max_regions: int):
     """Fused measure + perimeter: the perimeter category weights ride the
-    central-moment scatter as a fourth packed column."""
+    moment matmul as a seventh packed column."""
 
     return _measure_packed(
-        labels, max_regions, extra=_perimeter_weights_j(labels).ravel()
+        labels, max_regions, extra=_perimeter_weights_j(labels)
+    )[0]
+
+
+def measure_extremes_j(labels, max_regions: int):
+    """(feats incl. perimeter, (mn, mx, has)) — the row extremes feed
+    :func:`hull_pixel_areas_j` without recomputation."""
+
+    return _measure_packed(
+        labels, max_regions, extra=_perimeter_weights_j(labels)
     )
 
 
@@ -318,153 +413,131 @@ def _perimeter_weights_j(labels):
 
 
 # ---------------------------------------------------------------------------
-# convex hull — device vertex extraction
-def hull_vertices_j(labels, max_regions: int, max_vertices: int = 64):
-    """Per-region convex-hull vertices, fully on device.
+# convex hull — device pixel-area kernel
+#
+# The reference's solidity (core/extraction.py:57-87, skimage regionprops)
+# divides region area by the pixel count of the filled convex hull.  The
+# device kernel computes that pixel count directly — no vertex list, no
+# host scan-line — from the geometry of pixel-grid hulls:
+#
+#   * hull candidates are the per-row column extremes (mn, mx), and a
+#     connected region occupies a CONTIGUOUS row interval;
+#   * the hull's right boundary at row t is the concave upper envelope of
+#     mx over rows, traced by gift wrapping: from vertex v the next hull
+#     vertex maximizes the slope (exact int32 cross-product comparisons —
+#     coords <= 2^14 keep every product in range);
+#   * the left boundary is the SAME computation on -mn, because
+#     floor(-LX) = -ceil(LX): one kernel runs both chains as extra lanes;
+#   * per row, pixels-in-hull = floor(RX) - ceil(LX) + 1, and floor of an
+#     exact rational (p // q) equals the host's f64 + 1e-9-epsilon
+#     scan-line arithmetic exactly (rationals with denominator <= 2^14
+#     are either integers or >= 6e-5 from one).
+def hull_pixel_areas_j(mn, mx, has, max_iters: int = 64):
+    """Filled-convex-hull pixel count per region, fully on device.
 
-    Replicates :func:`convex_hull_points` over the same candidate set the
-    host ``solidity_np`` builds (per-row column extremes inside each
-    region): Andrew's monotone chain in *integer* arithmetic, so the
-    vertex list is bit-identical to the host hull and the scan-line area
-    can stay a tiny host finalization in f64 — no label-frame download.
+    ``mn``/``mx``/``has``: per-(region, row) column extremes from
+    :func:`row_extremes_j`.  Returns ``(areas, saturated)`` — int32
+    pixel counts (index 0 = background, garbage) and a bool flag for
+    regions whose hull chain exceeded ``max_iters`` vertices (caller must
+    fall back to the host hull for those; needs > ``max_iters`` hull
+    vertices per side, i.e. enormous smooth regions).
 
-    Returns ``(verts, nverts)``: ``verts`` (max_regions+1, max_vertices, 2)
-    int32 in the host's ``lower[:-1] + upper[:-1]`` order; ``nverts`` the
-    TRUE vertex count (may exceed ``max_vertices`` — callers must treat
-    those regions as saturated and fall back to the host hull).
+    Bit parity: areas equal :func:`_hull_pixel_area` over
+    :func:`convex_hull_points` for every region, including degenerate
+    (collinear / single-row) hulls, where both reduce to the member pixel
+    count.  Valid for frames up to 16384 on a side (int32 cross bound).
     """
 
     import jax
     import jax.numpy as jnp
 
-    labels = labels.astype(jnp.int32)
-    h, w = labels.shape
-    r_cap = max_regions
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    lab = jnp.clip(labels, 0, r_cap)
-    seg = (lab * h + rows).ravel()
-    nseg = (r_cap + 1) * h
-    colf = cols.ravel().astype(jnp.float32)
-    mn = jax.ops.segment_min(colf, seg, num_segments=nseg).reshape(r_cap + 1, h)
-    mx = jax.ops.segment_max(colf, seg, num_segments=nseg).reshape(r_cap + 1, h)
-    has = mn <= mx  # absent (region,row) pairs keep the min/max identities
-    mn_i = jnp.where(has, mn, 0).astype(jnp.int32)
-    mx_i = jnp.where(has, mx, 0).astype(jnp.int32)
+    nseg, h = mx.shape
+    big = jnp.int32(1) << 29
+    t = jnp.arange(h, dtype=jnp.int32)
+    minr = jnp.min(jnp.where(has, t[None, :], big), axis=1)
+    maxr = jnp.max(jnp.where(has, t[None, :], -1), axis=1)
 
-    batch = r_cap + 1
-    rr = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[None, :], (batch, h))
-    # candidates in the host's np.unique order: (row, minc) then (row, maxc)
-    cand = jnp.stack(
-        [
-            jnp.stack([rr, mn_i], axis=-1),
-            jnp.stack([rr, mx_i], axis=-1),
-        ],
-        axis=2,
-    ).reshape(batch, 2 * h, 2)
-    valid = jnp.stack([has, has & (mx_i > mn_i)], axis=2).reshape(batch, 2 * h)
-
-    # compact valid candidates to the front of each lane (stable, so the
-    # lexicographic candidate order is preserved); the chain loop's trip
-    # count then tracks the LARGEST region, not the frame height
-    order = jnp.argsort(~valid, axis=1, stable=True)
-    cand = jnp.take_along_axis(
-        cand, jnp.broadcast_to(order[..., None], cand.shape), axis=1
+    # lanes 0..nseg-1: right chain over mx; lanes nseg..: left chain as a
+    # right chain over -mn (floor(-LX) = -ceil(LX))
+    x_lanes = jnp.concatenate(
+        [jnp.where(has, mx, -big), jnp.where(has, -mn, -big)], axis=0
     )
-    ncand = jnp.sum(valid, axis=1).astype(jnp.int32)
-    # lane 0 is the background pseudo-region: it touches nearly every row,
-    # so left alone it alone would set the while trip count to ~2H
-    ncand = ncand.at[0].set(0)
+    has_l = jnp.concatenate([has, has], axis=0)
+    minr_l = jnp.concatenate([minr, minr], axis=0)
+    maxr_l = jnp.concatenate([maxr, maxr], axis=0)
+    lanes = 2 * nseg
 
-    ncap = 2 * h
-    stack_cap = h + 8  # chain keeps <=1 point per closed row (+ transients)
-    bidx = jnp.arange(batch)
+    empty = maxr_l < 0
+    cur_r = jnp.where(empty, 0, minr_l)
+    cur_x = jnp.take_along_axis(x_lanes, cur_r[:, None], axis=1)[:, 0]
+    # seed boundary rows with the start vertex (covers single-row hulls)
+    rxf = jnp.where(
+        (t[None, :] == cur_r[:, None]) & ~empty[:, None], cur_x[:, None], -big
+    )
+    done = empty | (cur_r >= maxr_l)
 
-    def chain(cand, ncand):
-        # flat Andrew scan: every while iteration each lane either pops
-        # once or pushes once and advances — no nested pop loop, and lanes
-        # progress independently (total trips <= 2 * max ncand)
-        def cond(state):
-            _, _, t = state
-            return jnp.any(t < ncand)
+    hp = 1
+    while hp < h:
+        hp *= 2
+    pad = hp - h
+    t_rows = jnp.broadcast_to(t[None, :], (lanes, h))
 
-        def body(state):
-            stack, cnt, t = state
-            active = t < ncand
-            p = cand[bidx, jnp.minimum(t, ncap - 1)]
-            o = stack[bidx, jnp.maximum(cnt - 2, 0)]
-            a = stack[bidx, jnp.maximum(cnt - 1, 0)]
-            cross = (a[:, 0] - o[:, 0]) * (p[:, 1] - o[:, 1]) - (
-                a[:, 1] - o[:, 1]
-            ) * (p[:, 0] - o[:, 0])
-            pop = active & (cnt >= 2) & (cross <= 0)
-            push = active & ~pop
-            cnt = cnt - pop.astype(jnp.int32)
-            slot = jnp.minimum(cnt, stack_cap - 1)
-            cur = stack[bidx, slot]
-            stack = stack.at[bidx, slot].set(jnp.where(push[:, None], p, cur))
-            return stack, cnt + push.astype(jnp.int32), t + push.astype(jnp.int32)
+    def next_vertex(cur_r, cur_x, done):
+        # exact argmax of slope from (cur_r, cur_x) over the remaining
+        # candidate rows: log2(H) pairwise tournament, ties -> farthest
+        # row (skips collinear points, like the host chain's <= pop)
+        valid = has_l & (t_rows > cur_r[:, None]) & ~done[:, None]
+        ar = jnp.pad(t_rows, ((0, 0), (0, pad)))
+        ax = jnp.pad(x_lanes, ((0, 0), (0, pad)))
+        av = jnp.pad(valid, ((0, 0), (0, pad)))
+        n = hp
+        while n > 1:
+            n //= 2
+            r0, r1 = ar[:, :n], ar[:, n : 2 * n]
+            x0, x1 = ax[:, :n], ax[:, n : 2 * n]
+            v0, v1 = av[:, :n], av[:, n : 2 * n]
+            dr0 = r0 - cur_r[:, None]
+            dr1 = r1 - cur_r[:, None]
+            cross = (x1 - cur_x[:, None]) * dr0 - (x0 - cur_x[:, None]) * dr1
+            take1 = v1 & (~v0 | (cross > 0) | ((cross == 0) & (r1 > r0)))
+            ar = jnp.where(take1, r1, r0)
+            ax = jnp.where(take1, x1, x0)
+            av = v0 | v1
+        return ar[:, 0], ax[:, 0], av[:, 0]
 
-        init = (
-            jnp.zeros((batch, stack_cap, 2), jnp.int32),
-            jnp.zeros(batch, jnp.int32),
-            jnp.zeros(batch, jnp.int32),
+    def cond(state):
+        _, _, done, _, it = state
+        return (it < max_iters) & jnp.any(~done)
+
+    def body(state):
+        cur_r, cur_x, done, rxf, it = state
+        nr, nx, nv = next_vertex(cur_r, cur_x, done)
+        step = ~done & nv
+        dr = jnp.maximum(jnp.where(step, nr - cur_r, 1), 1)
+        dx = nx - cur_x
+        # exact rational boundary: floor((x0*dr + (t-r0)*dx) / dr)
+        num = cur_x[:, None] * dr[:, None] + (
+            t[None, :] - cur_r[:, None]
+        ) * dx[:, None]
+        interp = num // dr[:, None]
+        seg = (
+            step[:, None]
+            & (t[None, :] >= cur_r[:, None])
+            & (t[None, :] <= nr[:, None])
         )
-        stack, cnt, _ = jax.lax.while_loop(cond, body, init)
-        return stack, cnt
+        rxf = jnp.maximum(rxf, jnp.where(seg, interp, -big))
+        cur_r = jnp.where(step, nr, cur_r)
+        cur_x = jnp.where(step, nx, cur_x)
+        done = done | (cur_r >= maxr_l) | ~nv
+        return cur_r, cur_x, done, rxf, it + 1
 
-    # reversed per-lane candidate order for the upper chain
-    j2 = jnp.arange(ncap, dtype=jnp.int32)[None, :]
-    rev_idx = jnp.clip(ncand[:, None] - 1 - j2, 0, ncap - 1)
-    rcand = jnp.take_along_axis(
-        cand, jnp.broadcast_to(rev_idx[..., None], cand.shape), axis=1
-    )
-    lower, nl = chain(cand, ncand)
-    upper, nu = chain(rcand, ncand)
-    nl1 = jnp.maximum(nl - 1, 0)
-    nu1 = jnp.maximum(nu - 1, 0)
-    nverts = nl1 + nu1
+    state = (cur_r, cur_x, done, rxf, jnp.int32(0))
+    _, _, done, rxf, _ = jax.lax.while_loop(cond, body, state)
 
-    j = jnp.arange(max_vertices)
-    from_lower = j[None, :] < nl1[:, None]
-    li = jnp.broadcast_to(
-        jnp.minimum(j, stack_cap - 1)[None, :, None], (batch, max_vertices, 2)
-    )
-    ui = jnp.broadcast_to(
-        jnp.clip(j[None, :] - nl1[:, None], 0, stack_cap - 1)[..., None],
-        (batch, max_vertices, 2),
-    )
-    lv = jnp.take_along_axis(lower, li, axis=1)
-    uv = jnp.take_along_axis(upper, ui, axis=1)
-    verts = jnp.where(from_lower[..., None], lv, uv)
-    return verts, nverts
-
-
-def solidity_from_hulls(
-    area: np.ndarray,
-    verts: np.ndarray,
-    nverts: np.ndarray,
-    count: int,
-    max_vertices: int,
-) -> Tuple[np.ndarray, List[int]]:
-    """Host finalization of device hulls: the same f64 scan-line fill as
-    :func:`solidity_np` over pre-extracted vertices.  Returns (solidity,
-    saturated_regions) — saturated = true vertex count exceeded the device
-    padding, caller must redo those from the label frame."""
-
-    out = np.zeros(count + 1, dtype=np.float64)
-    saturated: List[int] = []
-    for region in range(1, count + 1):
-        n = int(nverts[region])
-        if n > max_vertices:
-            saturated.append(region)
-            continue
-        if n <= 2:
-            hull_area = float(area[region])
-        else:
-            hull_area = _hull_pixel_area(verts[region, :n].astype(np.float64))
-        out[region] = area[region] / max(hull_area, 1.0)
-    return out, saturated
+    widths = rxf[:nseg] + rxf[nseg:] + 1
+    areas = jnp.sum(jnp.where(has, widths, 0), axis=1)
+    saturated = ~done[:nseg] | ~done[nseg:]
+    return areas, saturated
 
 
 # ---------------------------------------------------------------------------
@@ -599,10 +672,11 @@ __all__ = [
     "measure_np",
     "measure_j",
     "measure_with_perimeter_j",
+    "measure_extremes_j",
+    "row_extremes_j",
     "perimeters_np",
     "convex_hull_points",
     "convex_area",
     "solidity_np",
-    "hull_vertices_j",
-    "solidity_from_hulls",
+    "hull_pixel_areas_j",
 ]

@@ -34,8 +34,22 @@ LOGGER = logging.getLogger(__name__)
 TileBox = Tuple[int, int, int, int]  # (left, top, right, bottom)
 
 _DEFAULT_TILE: Tuple[int, int] = (512, 512)
-_INFLIGHT = 3
-_TILE_BATCH = 8
+
+
+def _env_int(name: str, default: int, floor: int = 1) -> int:
+    import os
+
+    try:
+        return max(floor, int(os.environ.get(name, default)))
+    except ValueError:
+        return default
+
+
+# transfer-shape knobs, env-tunable per link (the defaults are tuned to a
+# high-latency relay; PCIe-class hosts want larger batches): number of
+# in-flight D2H windows and tiles per stacked dispatch
+_INFLIGHT = _env_int("YAM_STREAM_INFLIGHT", 3)
+_TILE_BATCH = _env_int("YAM_TILE_BATCH", 8)
 
 
 def iter_tile_boxes(
@@ -874,6 +888,101 @@ def _uniform_executables(plans, global_indices, frame_shape, tw, th):
     return entry
 
 
+def _fused_executables(plans, global_indices, frame_shape, tw, th):
+    """Whole-sweep segment executables for the device-resident fast path.
+
+    The chain splits into G+1 SEGMENTS at its global-stats ops.  Each
+    segment is ONE jitted dispatch over every tile window at once: it
+    applies its leading global op (from resolved stats), runs its pure
+    ops, and — unless it is the last segment — emits the next global op's
+    tile statistics from the center crops, merged on device.  Intermediate
+    windows stay device-resident between segments, so every op in the
+    chain executes EXACTLY ONCE per pixel (the per-batch engine re-runs
+    the prefix before global op k on every pass: G+1 full sweeps), and the
+    whole stream costs G+1 dispatches total instead of G+1 per batch —
+    the reference emits tiles of the final step only, so semantics match
+    (``processing/pipeline_cache.py:416-574``)."""
+
+    key = (_plan_key(plans, frame_shape, tw, th), "fused")
+    hit = _UNIFORM_JIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    import jax
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops.registry import call_with_position
+
+    def run_range(cur, stats_list, start: int, stop: int, window_box):
+        si = sum(1 for g in global_indices if g < start)
+        for i in range(start, stop):
+            impl, static, dyn, _ = plans[i]
+            dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+            if impl.global_stats:
+                cur = call_with_position(
+                    impl.apply_stats_fn,
+                    cur,
+                    stats_list[si],
+                    dyn_j,
+                    frame_shape=frame_shape,
+                    box=window_box,
+                    **static,
+                )
+                si += 1
+            else:
+                cur = impl.device_fn(cur, dyn_j, **static)
+        return cur
+
+    def center(out, y0, x0):
+        out = jax.lax.dynamic_slice_in_dim(out, y0, th, axis=0)
+        return jax.lax.dynamic_slice_in_dim(out, x0, tw, axis=1)
+
+    starts = [0] + list(global_indices)
+    stops = list(global_indices) + [len(plans)]
+
+    def make_segment(k: int):
+        start, stop = starts[k], stops[k]
+        last = k == len(starts) - 1
+        nxt = None if last else global_indices[k]
+
+        @jax.jit
+        def fn(stack, y0v, x0v, wboxes, tboxes, res):
+            if last:
+
+                def one(region, y0, x0, wbox, tbox):
+                    return center(run_range(region, res, start, stop, wbox), y0, x0)
+
+                return jax.vmap(one)(stack, y0v, x0v, wboxes, tboxes), None
+
+            impl_n, static_n, dyn_n, _ = plans[nxt]
+
+            def one(region, y0, x0, wbox, tbox):
+                cur = run_range(region, res, start, stop, wbox)
+                contrib = call_with_position(
+                    impl_n.tile_stats_fn,
+                    center(cur, y0, x0),
+                    {k2: jnp.asarray(v) for k2, v in dyn_n.items()},
+                    frame_shape=frame_shape,
+                    box=tbox,
+                    **static_n,
+                )
+                return cur, contrib
+
+            outs, contribs = jax.vmap(one)(stack, y0v, x0v, wboxes, tboxes)
+            acc = jax.tree_util.tree_map(lambda a: a[0], contribs)
+            for i in range(1, stack.shape[0]):
+                acc = impl_n.merge_stats_fn(
+                    acc, jax.tree_util.tree_map(lambda a, _i=i: a[_i], contribs)
+                )
+            return outs, acc
+
+        return fn
+
+    entry = [make_segment(k) for k in range(len(starts))]
+    _UNIFORM_JIT_CACHE[key] = entry
+    return entry
+
+
 def _stream_uniform(
     plans: List[Tuple[Any, dict, dict, int]],
     global_indices: List[int],
@@ -985,11 +1094,52 @@ def _stream_uniform(
                 cache.append(entry)
             yield entry
 
+    # device-resident fast path: when every window stack fits the device
+    # cache budget (with headroom for one intermediate per segment) and no
+    # mesh is sharding the batch dim, the whole sweep runs as ONE dispatch
+    # per chain segment — each op executes exactly once per pixel and the
+    # per-batch dispatch latency (which dominated the round-3 compute
+    # slope) disappears.
+    if mesh is None and total_bytes <= _SOURCE_STACK_CACHE.budget // 2:
+        entries = list(stacks())
+        if warm is None and source_key is not None and len(cache) == len(batches):
+            _SOURCE_STACK_CACHE.put(source_key, total_bytes, list(cache))
+        if len(entries) == 1:
+            big, y0v, x0v, wbv, tbv = entries[0]
+        else:
+            parts = list(zip(*entries))
+            big, y0v, x0v, wbv, tbv = (jnp.concatenate(p) for p in parts)
+        segment_fns = _fused_executables(
+            plans, global_indices, frame_shape, tw, th
+        )
+        resolved: List[Any] = []
+        cur = big
+        for fn in segment_fns:
+            cur, acc = fn(cur, y0v, x0v, wbv, tbv, resolved)
+            if acc is not None:
+                resolved.append(acc)
+        if device_sink is not None:
+            device_sink(boxes, cur)
+            return
+        fused_inflight: List[Tuple[slice, Any]] = []
+
+        def fused_drain(limit: int) -> None:
+            while len(fused_inflight) > limit:
+                sl, handle = fused_inflight.pop(0)
+                for out, box in zip(TR.finish_fetch(handle), boxes[sl]):
+                    on_tile(box, out)
+
+        for sl in batches:
+            fused_inflight.append((sl, TR.start_fetch(cur[sl])))
+            fused_drain(_INFLIGHT)
+        fused_drain(0)
+        return
+
     stats_fns, merge_fns, batch_final = _uniform_executables(
         plans, global_indices, frame_shape, tw, th
     )
 
-    resolved: List[Any] = []
+    resolved = []
     for batch_stats, merge in zip(stats_fns, merge_fns):
         acc = None
         for stack, y0v, x0v, wbv, tbv in stacks():

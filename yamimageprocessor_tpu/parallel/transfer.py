@@ -17,8 +17,58 @@ from typing import Any, List
 
 import numpy as np
 
-#: transfer granularity: the largest size the link still serves at full rate
-CHUNK_BYTES = 4 << 20
+def _env_bytes(name: str, default: int) -> int:
+    import os
+
+    try:
+        return max(1 << 16, int(os.environ.get(name, default)))
+    except ValueError:
+        return default
+
+
+#: transfer granularity: the largest size the link still serves at full
+#: rate.  Default tuned to the tunneled relay; override per link with
+#: YAM_FETCH_CHUNK_BYTES, or call :func:`probe_and_tune` once to size it
+#: from a live measurement (PCIe-class links prefer much larger chunks —
+#: the 4 MiB default costs them per-chunk dispatch overhead).
+CHUNK_BYTES = _env_bytes("YAM_FETCH_CHUNK_BYTES", 4 << 20)
+
+
+def probe_and_tune(floor_bytes: int = 4 << 20) -> dict:
+    """One-shot link probe: fetch a 32 MiB buffer at several chunk sizes
+    and set :data:`CHUNK_BYTES` to the largest size within 10% of the best
+    rate (never below ``floor_bytes`` — the tuned relay default stays the
+    floor, so this box cannot regress).  Returns the measured table.
+
+    An explicit ``YAM_FETCH_CHUNK_BYTES`` override wins and skips probing.
+    """
+
+    import os
+    import time
+
+    global CHUNK_BYTES
+    if os.environ.get("YAM_FETCH_CHUNK_BYTES"):
+        return {"chunk_bytes": CHUNK_BYTES, "source": "env"}
+    import jax
+
+    buf = jax.device_put(np.zeros(32 << 20, np.uint8))
+    np.asarray(buf[:1])  # settle the upload
+    rates = {}
+    for size in (4 << 20, 16 << 20, 32 << 20):
+        fetch(buf, size)  # warm this shape
+        start = time.perf_counter()
+        fetch(buf, size)
+        rates[size] = buf.nbytes / max(time.perf_counter() - start, 1e-9)
+    best = max(rates.values())
+    chosen = max(
+        [s for s, r in rates.items() if r >= 0.9 * best] + [floor_bytes]
+    )
+    CHUNK_BYTES = max(chosen, floor_bytes)
+    return {
+        "chunk_bytes": CHUNK_BYTES,
+        "rates_MBps": {s: round(r / 1e6, 1) for s, r in rates.items()},
+        "source": "probe",
+    }
 
 
 class FetchHandle:
@@ -32,10 +82,13 @@ class FetchHandle:
         self.dtype = dtype
 
 
-def start_fetch(dev: Any, chunk_bytes: int = CHUNK_BYTES) -> FetchHandle:
+def start_fetch(dev: Any, chunk_bytes: int | None = None) -> FetchHandle:
     """Begin an async device→host copy of ``dev`` in ≤``chunk_bytes``
-    flat slices.  Returns a handle for :func:`finish_fetch`."""
+    flat slices (default: the module's current — possibly probe-tuned —
+    :data:`CHUNK_BYTES`).  Returns a handle for :func:`finish_fetch`."""
 
+    if chunk_bytes is None:
+        chunk_bytes = CHUNK_BYTES
     nbytes = int(getattr(dev, "nbytes", 0))
     if isinstance(dev, np.ndarray) or nbytes <= chunk_bytes:
         _copy_async(dev)
@@ -57,7 +110,7 @@ def finish_fetch(handle: FetchHandle) -> np.ndarray:
     return flat.reshape(handle.shape)
 
 
-def fetch(dev: Any, chunk_bytes: int = CHUNK_BYTES) -> np.ndarray:
+def fetch(dev: Any, chunk_bytes: int | None = None) -> np.ndarray:
     """Synchronous chunked fetch (start + finish)."""
 
     return finish_fetch(start_fetch(dev, chunk_bytes))
@@ -70,4 +123,11 @@ def _copy_async(dev: Any) -> None:
         pass
 
 
-__all__ = ["CHUNK_BYTES", "FetchHandle", "start_fetch", "finish_fetch", "fetch"]
+__all__ = [
+    "CHUNK_BYTES",
+    "FetchHandle",
+    "start_fetch",
+    "finish_fetch",
+    "fetch",
+    "probe_and_tune",
+]

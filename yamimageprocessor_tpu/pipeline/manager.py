@@ -52,6 +52,17 @@ class AcceleratorExecutor(Protocol):
     def execute(self, step: PipelineStep, image: np.ndarray) -> np.ndarray: ...
 
 
+def _prepared_dir(path) -> Optional[Path]:
+    """Coerce an optional path-like to a created directory (None passes
+    through) — shared by every cache/recovery directory setter below."""
+
+    if path is None:
+        return None
+    resolved = Path(path)
+    resolved.mkdir(parents=True, exist_ok=True)
+    return resolved
+
+
 @dataclass
 class PipelineState:
     """History snapshot (steps + optional image + cache signature)."""
@@ -61,18 +72,19 @@ class PipelineState:
     cache_signature: Optional[str] = None
 
     def clone(self) -> "PipelineState":
+        image = self.image
         return PipelineState(
-            [step.clone() for step in self.steps],
-            None if self.image is None else self.image.copy(),
-            self.cache_signature,
+            steps=[step.clone() for step in self.steps],
+            image=image.copy() if image is not None else None,
+            cache_signature=self.cache_signature,
         )
 
 
 class PipelineManager:
     """Ordered steps with undo/redo and compiled execution."""
 
-    _DEFAULT_CACHE_DIR: Optional[Path] = None
-    _DEFAULT_RECOVERY_ROOT: Optional[Path] = None
+    _default_cache_dir: Optional[Path] = None
+    _default_recovery_root: Optional[Path] = None
 
     def __init__(
         self,
@@ -92,28 +104,22 @@ class PipelineManager:
         self._listeners: List[PipelineChangeListener] = []
         self._gpu_executor = gpu_executor
         self._prefer_device = prefer_device
-        self._cache_directory: Optional[Path] = None
-        self._recovery_root: Optional[Path] = None
-        self.set_cache_directory(
-            cache_dir if cache_dir is not None else self._DEFAULT_CACHE_DIR
-        )
-        self.set_recovery_root(
-            recovery_root if recovery_root is not None else self._DEFAULT_RECOVERY_ROOT
-        )
+        if cache_dir is None:
+            cache_dir = self._default_cache_dir
+        if recovery_root is None:
+            recovery_root = self._default_recovery_root
+        self._cache_directory = _prepared_dir(cache_dir)
+        self._recovery_root = _prepared_dir(recovery_root)
 
     # ------------------------------------------------------------------
     # directories
     @classmethod
     def set_default_cache_directory(cls, path) -> None:
-        cls._DEFAULT_CACHE_DIR = None if path is None else Path(path)
-        if cls._DEFAULT_CACHE_DIR is not None:
-            cls._DEFAULT_CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        cls._default_cache_dir = _prepared_dir(path)
 
     @classmethod
     def set_default_recovery_root(cls, path) -> None:
-        cls._DEFAULT_RECOVERY_ROOT = None if path is None else Path(path)
-        if cls._DEFAULT_RECOVERY_ROOT is not None:
-            cls._DEFAULT_RECOVERY_ROOT.mkdir(parents=True, exist_ok=True)
+        cls._default_recovery_root = _prepared_dir(path)
 
     @property
     def cache_directory(self) -> Optional[Path]:
@@ -124,16 +130,10 @@ class PipelineManager:
         return self._recovery_root
 
     def set_cache_directory(self, path) -> None:
-        directory = None if path is None else Path(path)
-        if directory is not None:
-            directory.mkdir(parents=True, exist_ok=True)
-        self._cache_directory = directory
+        self._cache_directory = _prepared_dir(path)
 
     def set_recovery_root(self, path) -> None:
-        base = None if path is None else Path(path)
-        if base is not None:
-            base.mkdir(parents=True, exist_ok=True)
-        self._recovery_root = base
+        self._recovery_root = _prepared_dir(path)
 
     # ------------------------------------------------------------------
     # step access
@@ -205,26 +205,20 @@ class PipelineManager:
         return removed
 
     def move_step(self, old_index: int, new_index: int) -> None:
-        step = self._steps.pop(old_index)
-        self._steps.insert(new_index, step)
-        self._emit(
-            "steps_reordered",
-            step=step,
-            old_index=old_index,
-            new_index=new_index,
-            steps=tuple(self._steps),
-        )
+        moved = self._steps.pop(old_index)
+        self._steps.insert(new_index, moved)
+        # event payload (names + kwargs) is the wire contract panes rely on
+        detail = dict(step=moved, old_index=old_index, new_index=new_index)
+        self._emit("steps_reordered", steps=tuple(self._steps), **detail)
 
     def swap_steps(self, index_a: int, index_b: int) -> None:
-        self._steps[index_a], self._steps[index_b] = (
-            self._steps[index_b],
-            self._steps[index_a],
-        )
+        order = self._steps
+        order[index_a], order[index_b] = order[index_b], order[index_a]
         self._emit(
             "steps_swapped",
             first_index=index_a,
             second_index=index_b,
-            steps=tuple(self._steps),
+            steps=tuple(order),
         )
 
     def set_order(self, order: Iterable[str]) -> None:

@@ -20,16 +20,43 @@ class _OutOfTime(Exception):
     """Raised between cases when the caller's time budget is exhausted."""
 
 CASES = [
-    # (identifier, params, tolerance)
+    # (identifier, params, tolerance[, input: "gray"|"bgr"])
     ("preprocessing.grayscale", {}, 0),
     ("preprocessing.brightness_contrast", {"alpha": 1.4, "beta": 7.0}, 0),
+    ("preprocessing.brightness_contrast", {"alpha": 0.8, "beta": -12.0}, 0),
     ("preprocessing.gamma", {"value": 2.2}, 0),
+    ("preprocessing.gamma", {"value": 0.45}, 0),
     ("preprocessing.histogram_equalization", {}, 0),
+    # color path: equalize the Y plane of YCrCb and convert back — a
+    # completely different code path from the grayscale LUT
+    ("preprocessing.histogram_equalization", {}, 1, "bgr"),
     ("preprocessing.normalize", {"alpha": 10.0, "beta": 240.0}, 1),
     ("preprocessing.noise_reduction", {"method": "Gaussian", "ksize": 5}, 1),
+    ("preprocessing.noise_reduction", {"method": "Gaussian", "ksize": 9}, 1),
     ("preprocessing.noise_reduction", {"method": "Median", "ksize": 5}, 0),
+    # ksize=3 runs a different shared-column sorting network
+    ("preprocessing.noise_reduction", {"method": "Median", "ksize": 3}, 0),
+    # bilateral: gather-heavy range weights — exactly the class that can
+    # diverge on TPU; 1-LSB like the CPU suite (test_preprocess_ops.py)
+    ("preprocessing.noise_reduction", {"method": "Bilateral", "ksize": 5}, 1),
     ("preprocessing.sharpen", {"strength": 1.0}, 1),
     ("preprocessing.select_channel", {"value": "RG"}, 0),
+    (
+        "preprocessing.crop",
+        {"x_offset": 12, "y_offset": 9, "width": 90, "height": 70},
+        0,
+    ),
+    (
+        "preprocessing.crop",  # preview overlay mode (translucent fill)
+        {
+            "x_offset": 12,
+            "y_offset": 9,
+            "width": 90,
+            "height": 70,
+            "apply_crop": False,
+        },
+        0,
+    ),
     # clahe blend: f32 device interpolation vs f64 golden rounds +-1 at
     # exact .5 boundaries (tile hists and LUTs are bit-exact)
     ("preprocessing.clahe", {"clip_limit": 2.0, "grid_size": 8}, 1),
@@ -41,9 +68,11 @@ CASES = [
         {"low_threshold": 50, "high_threshold": 150, "aperture_size": 3},
         0,
     ),
+    ("segmentation.sobel", {"ksize": 5}, 0),
     ("segmentation.sobel", {"ksize": 3}, 0),
     ("segmentation.prewitt", {}, 0),
     ("segmentation.laplacian", {"ksize": 3}, 0),
+    ("segmentation.laplacian", {"ksize": 5}, 0),
     (
         "segmentation.opening",
         {"kernel_shape": "Elliptical", "kernel_size": 5, "iterations": 2},
@@ -169,7 +198,8 @@ def planned_total() -> int:
     #  CASES + 3 odd-shape hist-eq + 1 wide CLAHE + 1 batched CLAHE
     #  + odd-geometry cases (+1 odd chamfer) + agreement + IoU + snake
     #  + distance transform + connected components
-    #  + 10 device-extraction feature checks
+    #  + 10 device-extraction feature checks + annotated raster
+    #  + the device-family completeness sweep
     return (
         len(CASES)
         + 3
@@ -180,6 +210,7 @@ def planned_total() -> int:
         + len(IOU_CASES)
         + 3
         + 10
+        + 2
     )
 
 
@@ -226,12 +257,15 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
     passed = 0
     total = 0
 
-    for identifier, params, tol in CASES:
+    for case in CASES:
+        identifier, params, tol = case[:3]
         _tick()
         impl = get_impl(identifier)
         image = gray
         if (
-            "channel" in identifier
+            len(case) > 3
+            and case[3] == "bgr"
+            or "channel" in identifier
             or "grayscale" in identifier
             or identifier in ("segmentation.otsu", "segmentation.watershed")
         ):
@@ -575,6 +609,46 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
         "xfeat.approx_polygon_errors",
         bool(np.allclose(err_d, err_g, rtol=1e-3, atol=1e-3)),
         "epsilon-search mean errors",
+    )
+
+    # ---- region_properties ANNOTATED RASTER (the op's image output:
+    # bbox borders + centroid disks, value-independent geometry)
+    _tick()
+    rp = get_impl("extraction.region_properties")
+    golden_r = rp.golden_fn(bgr)
+    device_r = np.asarray(rp.device_fn(jnp.asarray(bgr), {}))
+    check(
+        "xfeat.region_properties_raster",
+        bool(np.array_equal(golden_r, device_r)),
+        "annotated raster bit-exact",
+    )
+
+    # ---- completeness sweep: every registered op family with a device
+    # path must be audited above — a newly registered device op that
+    # nobody added to CASES fails here instead of silently shipping
+    # unaudited (VERDICT r3 missing #3)
+    _tick()
+    from yamimageprocessor_tpu.ops.registry import all_impls
+
+    audited = (
+        {c[0] for c in CASES}
+        | {c[0] for c in AGREEMENT_CASES}
+        | {c[0] for c in IOU_CASES}
+        | {c[0] for c in ODD_SHAPE_CASES}
+        | {
+            "segmentation.active_contour",
+            "extraction.region_properties",
+        }
+    )
+    unaudited = [
+        ident
+        for ident in sorted(all_impls())
+        if get_impl(ident).device_fn is not None and ident not in audited
+    ]
+    check(
+        "audit.device_family_coverage",
+        not unaudited,
+        f"unaudited: {unaudited}" if unaudited else "all device families audited",
     )
 
     return passed, total
