@@ -422,14 +422,19 @@ def _extra_extraction() -> None:
             np.repeat(_dense_scene(side, seed=s)[..., None], 3, axis=-1)
             for s in range(8)
         ]
-        XD.region_tables_device(frames)  # warm
-        start = time.perf_counter()
-        tables = XD.region_tables_device(frames)
-        elapsed = time.perf_counter() - start
+        XD.region_tables_device(frames)  # warm (compile + operand cache)
+        sweeps = []
+        for _ in range(3):
+            start = time.perf_counter()
+            XD.region_tables_device(frames)
+            sweeps.append(
+                round(len(frames) * mpix / (time.perf_counter() - start), 3)
+            )
         _stderr(
             {
                 "extra": "extraction_mass_batched",
-                "value": round(len(frames) * mpix / elapsed, 3),
+                "value": max(sweeps),
+                "sweeps": sweeps,
                 "unit": "MPix/s",
                 "frames": len(frames),
             }

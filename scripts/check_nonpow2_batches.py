@@ -31,12 +31,19 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# this image force-sets JAX_PLATFORMS to the accelerator via sitecustomize,
-# so the safe default must override hard BEFORE the first jax import
+# this image force-sets JAX_PLATFORMS to the accelerator via sitecustomize
+# (which wins over the env var), so the safe default must override through
+# jax.config BEFORE anything traces
+import jax  # noqa: E402
+
 if "--tpu" not in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
 
-import jax  # noqa: E402
+    enable_persistent_cache()  # bounds the 8 batch-size compiles to once
+
 import jax.numpy as jnp  # noqa: E402
 
 from yamimageprocessor_tpu.ops import extraction_device as XD  # noqa: E402

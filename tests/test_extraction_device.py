@@ -45,7 +45,11 @@ def test_region_features_match_golden(scene):
         np.asarray(feats["perimeter"])[: n + 1], meas.perimeter, rtol=1e-5
     )
     np.testing.assert_allclose(
-        np.asarray(feats["eccentricity"])[: n + 1], meas.eccentricity(), rtol=1e-4
+        np.asarray(feats["eccentricity"])[: n + 1],
+        meas.eccentricity(),
+        rtol=1e-4,
+        # ecc near 0 (symmetric regions) is sqrt-amplified f32 noise
+        atol=1e-3,
     )
     np.testing.assert_allclose(
         np.asarray(feats["extent"])[: n + 1], meas.extent(), rtol=1e-5

@@ -523,6 +523,10 @@ def _finalize_region_table(
     labels_dev,
     capacity: int = MAX_REGIONS,
 ) -> Dict[str, np.ndarray]:
+    """``labels_dev``: the device label frame, or a zero-arg callable
+    producing it (kept lazy so the common no-fallback path never enqueues
+    the per-frame slice dispatch)."""
+
     row = {k: bundle[i] for i, k in enumerate(_PACK_KEYS)}
     n = int(row["count"][0])
     if int(row["max_label"][0]) > capacity:
@@ -564,6 +568,8 @@ def _finalize_region_table(
         # regions through the host hull
         import jax.numpy as jnp
 
+        if callable(labels_dev):
+            labels_dev = labels_dev()
         labels = np.asarray(labels_dev.astype(jnp.uint16)).astype(np.int32)
         host_sol = RP.solidity_np(labels, meas)
         for region in chain_overflow:
@@ -754,7 +760,14 @@ def region_tables_device(frames) -> list:
             labels_b, bundles_b = _jitted_region_packed_batch(capacity)(stack)
             fetched = np.asarray(bundles_b)
             for k, i in enumerate(members):
-                out[i] = (labels_b[k], fetched[k])
+                # label slice stays LAZY: indexing a device batch enqueues
+                # a dispatch per frame (~10 ms of relay overhead each), and
+                # the labels are only touched on the rare hull-overflow /
+                # saturation fallbacks
+                out[i] = (
+                    lambda labels_b=labels_b, k=k: labels_b[k],
+                    fetched[k],
+                )
         if singles:
             fn = _jitted_region_packed(capacity)
             outs = [fn(device_gray(i)) for i in singles]  # async, no blocking
@@ -762,7 +775,7 @@ def region_tables_device(frames) -> list:
             # device_get pays the relay round trip N times over
             fetched = np.asarray(jnp.stack([b for (_, b) in outs]))
             for k, i in enumerate(singles):
-                out[i] = (outs[k][0], fetched[k])
+                out[i] = (lambda lab=outs[k][0]: lab, fetched[k])
         return [out[i] for i in idx]
 
     eligible = [i for i in range(len(frames)) if i not in oversize]

@@ -945,6 +945,11 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
         last = k == len(starts) - 1
         nxt = None if last else global_indices[k]
 
+        # inputs arrive as (nb, B, ...): a lax.map over fixed-size tile
+        # batches with an inner vmap(B), so the compiled program stays
+        # one-batch-sized regardless of how many tiles the sweep covers
+        # (a flat vmap over ALL tiles compiled minutes-long programs on
+        # slow compile services) — still ONE dispatch per segment.
         @jax.jit
         def fn(stack, y0v, x0v, wboxes, tboxes, res):
             if last:
@@ -952,7 +957,12 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
                 def one(region, y0, x0, wbox, tbox):
                     return center(run_range(region, res, start, stop, wbox), y0, x0)
 
-                return jax.vmap(one)(stack, y0v, x0v, wboxes, tboxes), None
+                def per_batch(args):
+                    return jax.vmap(one)(*args)
+
+                return jax.lax.map(
+                    per_batch, (stack, y0v, x0v, wboxes, tboxes)
+                ), None
 
             impl_n, static_n, dyn_n, _ = plans[nxt]
 
@@ -968,11 +978,23 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
                 )
                 return cur, contrib
 
-            outs, contribs = jax.vmap(one)(stack, y0v, x0v, wboxes, tboxes)
-            acc = jax.tree_util.tree_map(lambda a: a[0], contribs)
-            for i in range(1, stack.shape[0]):
+            def per_batch(args):
+                outs, contribs = jax.vmap(one)(*args)
+                acc = jax.tree_util.tree_map(lambda a: a[0], contribs)
+                for i in range(1, outs.shape[0]):
+                    acc = impl_n.merge_stats_fn(
+                        acc,
+                        jax.tree_util.tree_map(lambda a, _i=i: a[_i], contribs),
+                    )
+                return outs, acc
+
+            outs, accs = jax.lax.map(
+                per_batch, (stack, y0v, x0v, wboxes, tboxes)
+            )
+            acc = jax.tree_util.tree_map(lambda a: a[0], accs)
+            for j in range(1, stack.shape[0]):
                 acc = impl_n.merge_stats_fn(
-                    acc, jax.tree_util.tree_map(lambda a, _i=i: a[_i], contribs)
+                    acc, jax.tree_util.tree_map(lambda a, _j=j: a[_j], accs)
                 )
             return outs, acc
 
@@ -1105,10 +1127,24 @@ def _stream_uniform(
         if warm is None and source_key is not None and len(cache) == len(batches):
             _SOURCE_STACK_CACHE.put(source_key, total_bytes, list(cache))
         if len(entries) == 1:
-            big, y0v, x0v, wbv, tbv = entries[0]
+            flat = entries[0]
         else:
             parts = list(zip(*entries))
-            big, y0v, x0v, wbv, tbv = (jnp.concatenate(p) for p in parts)
+            flat = tuple(jnp.concatenate(p) for p in parts)
+        # regroup into equal-size batches for the scan-over-batches
+        # executables: prefer _TILE_BATCH, else the largest divisor of the
+        # tile count at most 2*_TILE_BATCH (worst case 1 — still a single
+        # dispatch per segment, just a longer scan)
+        ntiles = len(boxes)
+        if ntiles % _TILE_BATCH == 0:
+            group = _TILE_BATCH
+        else:
+            group = max(
+                d for d in range(1, 2 * _TILE_BATCH + 1) if ntiles % d == 0
+            )
+        big, y0v, x0v, wbv, tbv = (
+            a.reshape((ntiles // group, group) + a.shape[1:]) for a in flat
+        )
         segment_fns = _fused_executables(
             plans, global_indices, frame_shape, tw, th
         )
@@ -1118,6 +1154,7 @@ def _stream_uniform(
             cur, acc = fn(cur, y0v, x0v, wbv, tbv, resolved)
             if acc is not None:
                 resolved.append(acc)
+        cur = cur.reshape((ntiles,) + cur.shape[2:])
         if device_sink is not None:
             device_sink(boxes, cur)
             return

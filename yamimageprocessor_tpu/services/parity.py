@@ -507,7 +507,9 @@ def _run_all(emit, _tick, gray, bgr, rng, jnp, get_impl, failures, progress):
             np.asarray(feats["eccentricity"])[: n + 1],
             meas.eccentricity(),
             rtol=1e-3,
-            atol=1e-4,
+            # near-symmetric regions: ecc = sqrt(eps/l1) amplifies f32
+            # moment noise through the square root — 1e-3 absolute class
+            atol=1e-3,
         )
     )
     check("xfeat.region_properties", ok, "area/perimeter/centroid/ecc")
