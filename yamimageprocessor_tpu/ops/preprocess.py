@@ -278,6 +278,7 @@ register_op(
     lut_fn=lambda img, dyn: _equalize_lut_from_image_j(img),
     lut_needs_image=True,
     lut_ndims=(2,),
+    stats_lut_fn=lambda stats, dyn: equalization_lut_j(stats),
 )
 
 
@@ -468,6 +469,24 @@ def normalize_apply_stats_j(tile, stats, dyn):
     return out.astype(tile.dtype)
 
 
+def normalize_stats_lut_j(stats, dyn):
+    """uint8 min-max normalize as a stats-derived 256-LUT: the same
+    per-value arithmetic as :func:`normalize_apply_stats_j`, evaluated
+    over the value axis once (the streaming engine composes it with
+    adjacent value LUTs into one table pass)."""
+
+    import jax.numpy as jnp
+
+    smin, smax = stats[0], stats[1]
+    lo = jnp.minimum(dyn["alpha"], dyn["beta"])
+    hi = jnp.maximum(dyn["alpha"], dyn["beta"])
+    span = smax - smin
+    scale = jnp.where(span > 0, (hi - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    shift = lo - smin * scale
+    values = jnp.arange(256, dtype=jnp.float32)
+    return F.to_uint8_j(values * scale + shift)
+
+
 register_op(
     "preprocessing.normalize",
     golden_fn=normalize_np,
@@ -484,6 +503,7 @@ register_op(
     tile_stats_fn=normalize_tile_stats_j,
     merge_stats_fn=normalize_merge_stats_j,
     apply_stats_fn=normalize_apply_stats_j,
+    stats_lut_fn=normalize_stats_lut_j,
 )
 
 

@@ -91,6 +91,13 @@ class OpImpl:
     lut_fn: Optional[Callable[..., Any]] = None
     lut_needs_image: bool = False
     lut_ndims: Tuple[int, ...] = (2, 3)
+    #: streaming twin of ``lut_fn`` for global-statistics ops whose apply
+    #: pass is exactly a 256-entry table on uint8: ``stats_lut_fn(stats,
+    #: dyn, **static) -> (256,) uint8`` derives the table from the RESOLVED
+    #: global statistics, letting the streaming engine open a composed LUT
+    #: run at the global op (one HBM pass for e.g. hist-eq apply +
+    #: brightness/contrast instead of two).  Gated by ``lut_ndims``.
+    stats_lut_fn: Optional[Callable[..., Any]] = None
     #: extraction twin producing tabular records (pandas DataFrame), the
     #: reference's ``*_data`` functions (``core/extraction.py:70-443``)
     data_fn: Optional[Callable[..., Any]] = None

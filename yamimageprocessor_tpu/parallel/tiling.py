@@ -914,24 +914,56 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
     from yamimageprocessor_tpu.ops.registry import call_with_position
 
     def run_range(cur, stats_list, start: int, stop: int, window_box):
+        # maximal LUT runs compose into ONE table application, exactly as
+        # the dense chain compiler does (compose(L2, L1)[v] == L2[L1[v]]
+        # on uint8) — including stats-derived tables at global ops
+        # (``stats_lut_fn``), so e.g. hist-eq apply + brightness/contrast
+        # costs one HBM pass instead of two.
+        from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
         si = sum(1 for g in global_indices if g < start)
+        pending = None  # composed (256,) uint8 table awaiting application
+
+        def compose(pending, lut):
+            lut = lut.astype(jnp.uint8)
+            return lut if pending is None else lut[pending.astype(jnp.int32)]
+
+        def flush(cur, pending):
+            return cur if pending is None else apply_lut_j(cur, pending)
+
         for i in range(start, stop):
             impl, static, dyn, _ = plans[i]
             dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+            lutable = cur.dtype == jnp.uint8 and cur.ndim in impl.lut_ndims
             if impl.global_stats:
-                cur = call_with_position(
-                    impl.apply_stats_fn,
-                    cur,
-                    stats_list[si],
-                    dyn_j,
-                    frame_shape=frame_shape,
-                    box=window_box,
-                    **static,
-                )
+                if impl.stats_lut_fn is not None and lutable:
+                    pending = compose(
+                        pending, impl.stats_lut_fn(stats_list[si], dyn_j, **static)
+                    )
+                else:
+                    cur = flush(cur, pending)
+                    pending = None
+                    cur = call_with_position(
+                        impl.apply_stats_fn,
+                        cur,
+                        stats_list[si],
+                        dyn_j,
+                        frame_shape=frame_shape,
+                        box=window_box,
+                        **static,
+                    )
                 si += 1
+            elif (
+                impl.lut_fn is not None
+                and not impl.lut_needs_image
+                and lutable
+            ):
+                pending = compose(pending, impl.lut_fn(cur, dyn_j, **static))
             else:
+                cur = flush(cur, pending)
+                pending = None
                 cur = impl.device_fn(cur, dyn_j, **static)
-        return cur
+        return flush(cur, pending)
 
     def center(out, y0, x0):
         out = jax.lax.dynamic_slice_in_dim(out, y0, th, axis=0)
@@ -1090,11 +1122,26 @@ def _stream_uniform(
         if token is None
         else (token, ew, eh, tw, th, width, height, _mesh_key(mesh))
     )
+    # fused-path regrouping geometry (decided up front so a warm fused
+    # entry short-circuits BEFORE any source read): prefer _TILE_BATCH,
+    # else the largest divisor of the tile count at most 2*_TILE_BATCH
+    # (worst case 1 — still a single dispatch per segment)
+    ntiles = len(boxes)
+    if ntiles % _TILE_BATCH == 0:
+        group = _TILE_BATCH
+    else:
+        group = max(d for d in range(1, 2 * _TILE_BATCH + 1) if ntiles % d == 0)
+    fused_key = None if source_key is None else (source_key, "fused", group)
+    fused_warm = (
+        _SOURCE_STACK_CACHE.get(fused_key) if fused_key is not None else None
+    )
     warm = (
         _SOURCE_STACK_CACHE.get(source_key) if source_key is not None else None
     )
     cache: List[Any] = list(warm) if warm is not None else []
-    if warm is not None:
+    if fused_warm is not None:
+        total_bytes = int(fused_warm[0].nbytes)
+    elif warm is not None:
         total_bytes = sum(int(entry[0].nbytes) for entry in cache)
     else:
         probe = np.asarray(image.read_region(windows[0]))
@@ -1123,28 +1170,22 @@ def _stream_uniform(
     # per-batch dispatch latency (which dominated the round-3 compute
     # slope) disappears.
     if mesh is None and total_bytes <= _SOURCE_STACK_CACHE.budget // 2:
-        entries = list(stacks())
-        if warm is None and source_key is not None and len(cache) == len(batches):
-            _SOURCE_STACK_CACHE.put(source_key, total_bytes, list(cache))
-        if len(entries) == 1:
-            flat = entries[0]
-        else:
-            parts = list(zip(*entries))
-            flat = tuple(jnp.concatenate(p) for p in parts)
-        # regroup into equal-size batches for the scan-over-batches
-        # executables: prefer _TILE_BATCH, else the largest divisor of the
-        # tile count at most 2*_TILE_BATCH (worst case 1 — still a single
-        # dispatch per segment, just a longer scan)
-        ntiles = len(boxes)
-        if ntiles % _TILE_BATCH == 0:
-            group = _TILE_BATCH
-        else:
-            group = max(
-                d for d in range(1, 2 * _TILE_BATCH + 1) if ntiles % d == 0
-            )
-        big, y0v, x0v, wbv, tbv = (
-            a.reshape((ntiles // group, group) + a.shape[1:]) for a in flat
-        )
+        # the REGROUPED tensors are what warm sweeps reuse (re-concatenating
+        # the per-batch stacks cost a full source copy per sweep)
+        shaped = fused_warm
+        if shaped is None:
+            entries = list(stacks())
+            if len(entries) == 1:
+                flat = entries[0]
+            else:
+                parts = list(zip(*entries))
+                flat = tuple(jnp.concatenate(p) for p in parts)
+            shaped = [
+                a.reshape((ntiles // group, group) + a.shape[1:]) for a in flat
+            ]
+            if fused_key is not None:
+                _SOURCE_STACK_CACHE.put(fused_key, total_bytes, list(shaped))
+        big, y0v, x0v, wbv, tbv = shaped
         segment_fns = _fused_executables(
             plans, global_indices, frame_shape, tw, th
         )
