@@ -27,13 +27,24 @@ from yamimageprocessor_tpu.ops.schema import settings_defaults
 DEFAULT_SETTINGS: Dict[str, Any] = settings_defaults()
 
 
+#: textual truthiness accepted by the reference's QSettings strings
+_BOOL_WORDS = {
+    "1": True,
+    "true": True,
+    "yes": True,
+    "on": True,
+    "0": False,
+    "false": False,
+    "no": False,
+    "off": False,
+}
+
+
 def _coerce_bool(value: Any) -> bool:
     if isinstance(value, str):
-        lowered = value.strip().lower()
-        if lowered in {"1", "true", "yes", "on"}:
-            return True
-        if lowered in {"0", "false", "no", "off"}:
-            return False
+        word = value.strip().lower()
+        if word in _BOOL_WORDS:
+            return _BOOL_WORDS[word]
     return bool(value)
 
 
@@ -164,10 +175,7 @@ class SettingsManager:
         return self.snapshot(prefix=prefix, strip_prefix=strip_prefix)
 
     def apply_snapshot(
-        self,
-        values: Mapping[str, Any],
-        *,
-        prefix: str | None = None,
+        self, values: Mapping[str, Any], *, prefix: str | None = None,
         clear: bool = False,
     ) -> None:
         with self._lock:
@@ -183,10 +191,7 @@ class SettingsManager:
             self._flush_locked()
 
     def from_dict(
-        self,
-        values: Mapping[str, Any],
-        *,
-        prefix: str | None = None,
+        self, values: Mapping[str, Any], *, prefix: str | None = None,
         clear: bool = False,
     ) -> None:
         self.apply_snapshot(values, prefix=prefix, clear=clear)

@@ -244,17 +244,16 @@ class PipelineManager:
     def get_step(self, identifier: int | str) -> PipelineStep:
         if isinstance(identifier, int):
             return self._steps[identifier]
-        for step in self._steps:
-            if step.name == identifier:
-                return step
-        raise KeyError(f"No pipeline step named '{identifier}'")
+        match = next((s for s in self._steps if s.name == identifier), None)
+        if match is None:
+            raise KeyError(f"No pipeline step named '{identifier}'")
+        return match
 
     def set_step_enabled(self, identifier: int | str, enabled: bool) -> None:
         step = self.get_step(identifier)
-        if step.enabled == enabled:
-            return
-        step.enabled = enabled
-        self._emit("step_state_changed", step=step, enabled=enabled)
+        if step.enabled != enabled:
+            step.enabled = enabled
+            self._emit("step_state_changed", step=step, enabled=enabled)
 
     def toggle_step(self, identifier: int | str) -> bool:
         step = self.get_step(identifier)
@@ -376,11 +375,9 @@ class PipelineManager:
 
     @staticmethod
     def _requires_slice_processing(array: np.ndarray) -> bool:
-        if array.ndim <= 2:
-            return False
-        if array.ndim == 3 and _is_colour_array(array):
-            return False
-        return True
+        # plain 2-D frames and HxWx{3,4} colour frames process whole;
+        # anything deeper is an ND stack handled plane-by-plane
+        return array.ndim > 2 and not _is_colour_array(array)
 
     def _apply_slice_wise_nd(self, array: np.ndarray) -> np.ndarray:
         """ND stacks: batch the whole chain when device-capable, else loop
@@ -433,13 +430,11 @@ class PipelineManager:
     def extract_preview(array: np.ndarray, axis: int = 0) -> np.ndarray:
         """Representative 2-D slice (``pipeline_manager.py:494-504``)."""
 
-        if array.ndim <= 2:
-            return np.asarray(array)
-        if array.ndim == 3 and _is_colour_array(array):
-            return np.asarray(array)
-        axis = max(0, min(array.ndim - 1, axis))
-        index = array.shape[axis] // 2
-        return np.take(array, index, axis=axis)
+        array = np.asarray(array)
+        if array.ndim <= 2 or _is_colour_array(array):
+            return array
+        axis = int(np.clip(axis, 0, array.ndim - 1))
+        return np.take(array, array.shape[axis] // 2, axis=axis)
 
     # ------------------------------------------------------------------
     # history
