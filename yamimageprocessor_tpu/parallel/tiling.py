@@ -963,7 +963,11 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
                 cur = flush(cur, pending)
                 pending = None
                 cur = impl.device_fn(cur, dyn_j, **static)
-        return flush(cur, pending)
+        # the tail LUT run stays PENDING: the caller applies it after the
+        # center crop (tables commute with slicing), so the table pass
+        # runs on the lane-aligned tile instead of the halo-padded window
+        # (the Pallas LUT kernel degrades hard at non-128-multiple widths)
+        return cur, pending
 
     def center(out, y0, x0):
         out = jax.lax.dynamic_slice_in_dim(out, y0, th, axis=0)
@@ -977,6 +981,8 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
         last = k == len(starts) - 1
         nxt = None if last else global_indices[k]
 
+        from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
         # inputs arrive as (nb, B, ...): a lax.map over fixed-size tile
         # batches with an inner vmap(B), so the compiled program stays
         # one-batch-sized regardless of how many tiles the sweep covers
@@ -987,7 +993,9 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
             if last:
 
                 def one(region, y0, x0, wbox, tbox):
-                    return center(run_range(region, res, start, stop, wbox), y0, x0)
+                    cur, pending = run_range(region, res, start, stop, wbox)
+                    cur = center(cur, y0, x0)
+                    return cur if pending is None else apply_lut_j(cur, pending)
 
                 def per_batch(args):
                     return jax.vmap(one)(*args)
@@ -999,7 +1007,9 @@ def _fused_executables(plans, global_indices, frame_shape, tw, th):
             impl_n, static_n, dyn_n, _ = plans[nxt]
 
             def one(region, y0, x0, wbox, tbox):
-                cur = run_range(region, res, start, stop, wbox)
+                cur, pending = run_range(region, res, start, stop, wbox)
+                if pending is not None:
+                    cur = apply_lut_j(cur, pending)
                 contrib = call_with_position(
                     impl_n.tile_stats_fn,
                     center(cur, y0, x0),
