@@ -873,3 +873,76 @@ def test_streaming_budget_wall_and_rss():
     delta_bytes = (rss_after - rss_before) * 1024  # ru_maxrss is KiB on Linux
     budget = max(4 * out.nbytes, 500 * 1024 * 1024)
     assert delta_bytes <= budget, f"RSS delta {delta_bytes/1e6:.0f} MB > budget"
+
+
+def _lut_run_chain(kind: str):
+    """Chains exercising the streaming LUT-run composition paths."""
+
+    if kind == "normalize+contrast":
+        return [
+            PipelineStep(
+                name="IntensityNormalization",
+                op_id="preprocessing.normalize",
+                stage=Stage.PREPROCESSING,
+                params={"alpha": 10.0, "beta": 240.0},
+            ),
+            PipelineStep(
+                name="BrightnessContrast",
+                op_id="preprocessing.brightness_contrast",
+                stage=Stage.PREPROCESSING,
+                params={"alpha": 1.3, "beta": -6.0},
+            ),
+        ]
+    # hist-eq opens a stats-derived run; gamma + contrast extend it
+    return [
+        PipelineStep(
+            name="histogram_equalization",
+            op_id="preprocessing.histogram_equalization",
+            stage=Stage.PREPROCESSING,
+            params={},
+        ),
+        PipelineStep(
+            name="Gamma",
+            op_id="preprocessing.gamma",
+            stage=Stage.PREPROCESSING,
+            params={"value": 1.8},
+        ),
+        PipelineStep(
+            name="BrightnessContrast",
+            op_id="preprocessing.brightness_contrast",
+            stage=Stage.PREPROCESSING,
+            params={"alpha": 1.3, "beta": -6.0},
+        ),
+    ]
+
+
+@pytest.mark.parametrize("kind", ["normalize+contrast", "histeq+gamma+contrast"])
+@pytest.mark.parametrize("tile", [(32, 32), (33, 57)])
+def test_streamed_lut_run_composition_bit_exact(kind, tile):
+    """Stats-derived LUT runs (stats_lut_fn) composed with value LUTs must
+    stream bit-exactly vs the dense path on exact AND non-exact grids —
+    the fused engine applies the composed table after the center crop."""
+
+    from yamimageprocessor_tpu.parallel.tiling import stream_steps_tiled
+
+    array = _frame(96, 128)
+    rec = _SyntheticStreamingRecord(array)
+    steps = _lut_run_chain(kind)
+    out = np.zeros_like(array)
+
+    def on_tile(box, t):
+        left, top, right, bottom = box
+        out[top:bottom, left:right] = t
+
+    stream_steps_tiled(steps, rec, on_tile, tile_size=tile)
+    # streamed == dense DEVICE path (normalize is the documented 1-LSB
+    # class vs the f64 host golden, so host comparison would conflate
+    # that with a composition bug)
+    from yamimageprocessor_tpu.pipeline.compiler import get_compiled_chain
+
+    dense = np.asarray(
+        get_compiled_chain(steps, array.shape, array.dtype).run_final(
+            array, steps
+        )
+    )
+    np.testing.assert_array_equal(out, dense)
