@@ -440,6 +440,30 @@ def _extra_extraction() -> None:
             }
         )
 
+        # folder-scale batch: the per-call fixed costs (content tokens +
+        # one relay round trip) amortize further over 32 frames
+        frames32 = [
+            np.repeat(_dense_scene(side, seed=s)[..., None], 3, axis=-1)
+            for s in range(32)
+        ]
+        XD.region_tables_device(frames32)  # warm
+        sweeps32 = []
+        for _ in range(2):
+            start = time.perf_counter()
+            XD.region_tables_device(frames32)
+            sweeps32.append(
+                round(len(frames32) * mpix / (time.perf_counter() - start), 3)
+            )
+        _stderr(
+            {
+                "extra": "extraction_mass_batched_32",
+                "value": max(sweeps32),
+                "sweeps": sweeps32,
+                "unit": "MPix/s",
+                "frames": len(frames32),
+            }
+        )
+
 
 def _extra_gigapixel() -> None:
     """BASELINE config 5: tiled streaming throughput (host<->HBM pipeline);
@@ -794,7 +818,7 @@ def main() -> None:
         ("interactive_latency", _extra_interactive_latency, 300),
         ("kernel_micro", _extra_kernel_micro, 240),
         ("batched_clahe", _extra_batched_clahe, 240),
-        ("extraction", _extra_extraction, 300),
+        ("extraction", _extra_extraction, 480),
         ("gigapixel", _extra_gigapixel, 420),
         ("watershed_4096", _extra_watershed_4096, 900),  # big Mosaic compile
         # parity LAST (the slowest extra — ~70 device-case compiles — must
