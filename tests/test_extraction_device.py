@@ -199,7 +199,7 @@ def test_hull_pixel_areas_bit_exact_vs_host_scanline():
         assert areas[region] == golden, f"region {region}: hull area"
 
 
-def test_solidity_from_hulls_bit_exact(scene):
+def test_solidity_device_hulls_bit_exact(scene):
     _, bgr = scene
     golden, labels, meas = _solidity_golden(bgr)
     table = XD.region_table_device(bgr)
