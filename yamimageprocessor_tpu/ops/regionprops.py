@@ -294,7 +294,10 @@ def _moment_sums_matmul(lab, pw, s_r, s_c, nseg: int):
 
     h, w = lab.shape
     reg = jnp.arange(nseg, dtype=jnp.int32)
-    rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)))
+    # ~32 MB one-hot per chunk, but never more than 256 chunks: at the
+    # 512-region tier on large frames the per-chunk fori overhead would
+    # otherwise dominate (total HBM traffic is chunking-invariant)
+    rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)), -(-h // 256))
     nchunks = -(-h // rows)
     hp = nchunks * rows
     # pad rows with -1: they match NO lane, so padding contributes nothing

@@ -456,25 +456,56 @@ def _stream_with_stats(
     # instead of once per pass per tile.
     def run_prefix(cur, stats_list, upto: int, region_box):
         # region_box: traced (4,) int32 absolute coords of ``cur`` (the
-        # halo-expanded window) for position-aware global ops
+        # halo-expanded window) for position-aware global ops.  Maximal
+        # LUT runs (value tables and stats-derived tables alike) compose
+        # into ONE pending 256-table, returned UNAPPLIED so the caller
+        # flushes it after the center crop — generic-grid windows are
+        # arbitrary widths, exactly where the Pallas LUT kernel's
+        # non-lane-multiple penalty bites (see _fused_executables).
+        from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
         si = 0
+        pending = None
+
+        def compose(pending, lut):
+            lut = lut.astype(jnp.uint8)
+            return lut if pending is None else lut[pending.astype(jnp.int32)]
+
         for i in range(upto):
             impl, static, dyn, _ = plans[i]
             dyn_j = {k: jnp.asarray(v) for k, v in dyn.items()}
+            lutable = cur.dtype == jnp.uint8 and cur.ndim in impl.lut_ndims
             if impl.global_stats:
-                cur = call_with_position(
-                    impl.apply_stats_fn,
-                    cur,
-                    stats_list[si],
-                    dyn_j,
-                    frame_shape=frame_shape,
-                    box=region_box,
-                    **static,
-                )
+                if impl.stats_lut_fn is not None and lutable:
+                    pending = compose(
+                        pending, impl.stats_lut_fn(stats_list[si], dyn_j, **static)
+                    )
+                else:
+                    if pending is not None:
+                        cur = apply_lut_j(cur, pending)
+                        pending = None
+                    cur = call_with_position(
+                        impl.apply_stats_fn,
+                        cur,
+                        stats_list[si],
+                        dyn_j,
+                        frame_shape=frame_shape,
+                        box=region_box,
+                        **static,
+                    )
                 si += 1
+            elif (
+                impl.lut_fn is not None
+                and not impl.lut_needs_image
+                and lutable
+            ):
+                pending = compose(pending, impl.lut_fn(cur, dyn_j, **static))
             else:
+                if pending is not None:
+                    cur = apply_lut_j(cur, pending)
+                    pending = None
                 cur = impl.device_fn(cur, dyn_j, **static)
-        return cur
+        return cur, pending
 
     halo_all = sum(p[3] for p in plans)
     boxes = list(iter_tile_boxes(width, height, tsize))
@@ -564,12 +595,16 @@ def _stream_with_stats(
 
         @jax.jit
         def fn(stack, bvec, evec, stats_list):
+            from yamimageprocessor_tpu.ops.lutops import apply_lut_j
+
             def one(region, box, ebox):
-                cur = run_prefix(region, stats_list, g, ebox)
+                cur, pending = run_prefix(region, stats_list, g, ebox)
                 y0 = box[1] - ebox[1]
                 x0 = box[0] - ebox[0]
                 center = jax.lax.dynamic_slice_in_dim(cur, y0, bh, 0)
                 center = jax.lax.dynamic_slice_in_dim(center, x0, bw, 1)
+                if pending is not None:  # flush on the crop, not the window
+                    center = apply_lut_j(center, pending)
                 dyn_j = {k: jnp.asarray(v) for k, v in dyn_g.items()}
                 return call_with_position(
                     impl_g.tile_stats_fn,
@@ -593,27 +628,31 @@ def _stream_with_stats(
         _UNIFORM_JIT_CACHE[key] = fn
         return fn
 
-    def make_group_final(region_shape, n: int):
-        key = (base_key, "gfinal", tuple(region_shape), n)
+    def make_group_final(region_shape, bshape, n: int):
+        key = (base_key, "gfinal", tuple(region_shape), tuple(bshape), n)
         hit = _UNIFORM_JIT_CACHE.get(key)
         if hit is not None:
             return hit
+        bh, bw = bshape
 
+        # crop on DEVICE before any fetch: the link ships tile bytes, not
+        # halo-window bytes, and pending LUT runs flush on the aligned crop
         @jax.jit
-        def fn(stack, evec, stats_list):
-            def one(region, ebox):
-                return run_prefix(region, stats_list, len(plans), ebox)
+        def fn(stack, bvec, evec, stats_list):
+            from yamimageprocessor_tpu.ops.lutops import apply_lut_j
 
-            return jax.vmap(one)(stack, evec)
+            def one(region, box, ebox):
+                cur, pending = run_prefix(region, stats_list, len(plans), ebox)
+                y0 = box[1] - ebox[1]
+                x0 = box[0] - ebox[0]
+                cur = jax.lax.dynamic_slice_in_dim(cur, y0, bh, 0)
+                cur = jax.lax.dynamic_slice_in_dim(cur, x0, bw, 1)
+                return cur if pending is None else apply_lut_j(cur, pending)
+
+            return jax.vmap(one)(stack, bvec, evec)
 
         _UNIFORM_JIT_CACHE[key] = fn
         return fn
-
-    def crop_center(out, box: TileBox, ebox: TileBox):
-        left, top, right, bottom = box
-        eleft, etop, _, _ = ebox
-        y0, x0 = top - etop, left - eleft
-        return out[y0 : y0 + (bottom - top), x0 : x0 + (right - left), ...]
 
     # ---- stats passes (one per global op, in chain order)
     resolved: List[Any] = []
@@ -636,29 +675,16 @@ def _stream_with_stats(
             a, b, handle = inflight.pop(0)
             out = TR.finish_fetch(handle)
             for k in range(a, b):
-                on_tile(
-                    boxes[k],
-                    np.asarray(crop_center(out[k - a], boxes[k], eboxes[k])),
-                )
+                on_tile(boxes[k], np.asarray(out[k - a]))
 
     for (a, b), (stack, bvec, evec) in zip(groups, stacks_iter()):
-        fn = make_group_final(tuple(stack.shape[1:]), b - a)
-        dev = fn(stack, evec, resolved)
+        fn = make_group_final(
+            tuple(stack.shape[1:]), box_shape(boxes[a]), b - a
+        )
+        dev = fn(stack, bvec, evec, resolved)  # already center-cropped
         if device_sink is not None:
-            # crop on device and hand over without any D2H
-            for k in range(a, b):
-                left, top, right, bottom = boxes[k]
-                eleft, etop, _, _ = eboxes[k]
-                y0, x0 = top - etop, left - eleft
-                device_sink(
-                    [boxes[k]],
-                    dev[
-                        k - a,
-                        y0 : y0 + (bottom - top),
-                        x0 : x0 + (right - left),
-                        ...,
-                    ][None, ...],
-                )
+            # device-resident results: the whole group hands over at once
+            device_sink(boxes[a:b], dev)
             continue
         inflight.append((a, b, TR.start_fetch(dev)))
         drain(_INFLIGHT)
