@@ -451,3 +451,20 @@ def test_oversized_plain_frame_token_uncacheable():
     assert XD._frame_token(big) is None
     small = np.zeros((64, 64), dtype=np.uint8)
     assert XD._frame_token(small)[0] == "sha256"
+
+
+def test_region_tables_third_tier_600_regions():
+    """>512 regions must stay on the device path at the 1024 tier (the
+    BASELINE-class dense 4096² grid has ~1024 cells)."""
+
+    img = np.zeros((200, 200), np.uint8)
+    for i in range(25):
+        for j in range(25):
+            img[2 + i * 8 : 6 + i * 8, 2 + j * 8 : 6 + j * 8] = 220
+    bgr = np.repeat(img[..., None], 3, axis=-1)
+    (table,) = XD.region_tables_device([bgr])
+    assert not table.get("saturated")
+    golden, labels, meas = _solidity_golden(bgr)
+    assert table["meas"].count == meas.count == 625
+    np.testing.assert_array_equal(table["solidity"], golden)
+    np.testing.assert_array_equal(table["meas"].area, meas.area)

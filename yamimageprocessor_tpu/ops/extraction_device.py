@@ -22,7 +22,13 @@ from yamimageprocessor_tpu.ops import texture as TX
 from yamimageprocessor_tpu.ops import threshold as T
 from yamimageprocessor_tpu.ops.labeling import label_j
 
-MAX_REGIONS = 512  # static capacity for padded per-region outputs
+# static region-capacity tiers for padded per-region outputs.  Every
+# reduction costs O(H*W*capacity) (one-hot lanes), so frames climb the
+# ladder only as far as their raw label count demands; 1024 keeps the
+# BASELINE-class dense 4096² scene (32x32 cell grid) on the device path,
+# and past it the caller falls back to the unbounded host labeling.
+MAX_REGIONS = 1024
+MID_REGIONS = 512
 
 
 def binary_j(img, maxval: int = 255):
@@ -692,10 +698,11 @@ def region_tables_device(frames) -> list:
     uploaded operand is cached across calls by content token (warm
     re-extractions of a registered source skip the host link entirely).
 
-    Two-tier capacity: everything runs at the 64-region tier first (8x
-    smaller segment space and hull batch); only frames whose raw label
-    count EXCEEDS it re-run at the 512-region tier, and past THAT the
-    caller falls back to the unbounded host labeling."""
+    Tiered capacity (64 -> 512 -> 1024): every per-region reduction is
+    O(H*W*capacity), so everything runs at the 64-region tier first and
+    only frames whose raw label count EXCEEDS a tier climb to the next;
+    past the top tier the caller falls back to the unbounded host
+    labeling."""
 
     import jax
     import jax.numpy as jnp
@@ -780,17 +787,14 @@ def region_tables_device(frames) -> list:
 
     eligible = [i for i in range(len(frames)) if i not in oversize]
     tables: List[Dict] = [{"saturated": True}] * len(frames)
-    first = run_tier(eligible, FAST_REGIONS)
-    for (labels, bundle), i in zip(first, eligible):
-        tables[i] = _finalize_region_table(bundle, labels, FAST_REGIONS)
-    retry = [
-        i for i in eligible if tables[i].get("saturated")
-    ]
-    if retry:
-        second = run_tier(retry, MAX_REGIONS)
-        for k, i in enumerate(retry):
-            labels, bundle = second[k]
-            tables[i] = _finalize_region_table(bundle, labels, MAX_REGIONS)
+    pending = eligible
+    for capacity in (FAST_REGIONS, MID_REGIONS, MAX_REGIONS):
+        if not pending:
+            break
+        results = run_tier(pending, capacity)
+        for (labels, bundle), i in zip(results, pending):
+            tables[i] = _finalize_region_table(bundle, labels, capacity)
+        pending = [i for i in pending if tables[i].get("saturated")]
     return tables
 
 

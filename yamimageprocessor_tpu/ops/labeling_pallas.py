@@ -200,6 +200,17 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
         ],
     )
 
+    kwargs = {}
+    if not interpret:
+        # the kernel budgets its own working set at 13 MiB (_block_cap),
+        # but the SCOPED limit is shared with whatever XLA co-schedules
+        # around the custom call — at 4096-lane widths inside large
+        # programs the combined stack measured 16.39M against the default
+        # 16M limit.  There is no auto-pipelining to starve; give the
+        # manually-DMA'd set headroom like the watershed flood does.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=24 << 20
+        )
     cc_pass = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -211,6 +222,7 @@ def _build_cc(hp: int, wp: int, block: int, rounds: int, interpret: bool):
         # frame is updated in place so skipped blocks truly cost nothing
         input_output_aliases={2: 0},
         interpret=interpret,
+        **kwargs,
     )
 
     from yamimageprocessor_tpu.pallas_kernels import dilate1_flags
