@@ -197,8 +197,18 @@ def row_extremes_j(labels, max_regions: int):
     """Per-(region, row) column extremes — (mn, mx, has), each
     (max_regions+1, H).  ``mn``/``mx`` are the leftmost/rightmost columns
     of the region on that row; ``has`` marks rows the region occupies.
-    Computed as a fused broadcast-compare-select reduce over W, chunked by
-    rows so nothing near (H, W, regions) ever materializes."""
+
+    Two formulations, both exact (integer min/max):
+
+    * small capacities: fused broadcast-compare-select reduces over W,
+      chunked by rows so nothing near (H, W, regions) materializes —
+      O(H*W*capacity) lane work, the fastest shape for <=~128 lanes;
+    * large capacities: (region*H + row)-keyed segment min/max — TPU
+      scatters serialize per pixel but cost O(H*W) regardless of
+      capacity.  (At the 1024-region tier on 4096² frames the end-to-end
+      time is unchanged — the tier's wall is the hull wrap over 2x1025
+      lanes — but the extremes stop scaling with capacity.)
+    """
 
     import jax
     import jax.numpy as jnp
@@ -206,9 +216,25 @@ def row_extremes_j(labels, max_regions: int):
     labels = labels.astype(jnp.int32)
     h, w = labels.shape
     nseg = max_regions + 1
-    reg = jnp.arange(nseg, dtype=jnp.int32)
     big = jnp.int32(1) << 29
 
+    if nseg > 128:
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        seg = (jnp.clip(labels, 0, max_regions) * h + rows_i).ravel()
+        colf = cols_i.ravel()
+        mn = jax.ops.segment_min(colf, seg, num_segments=nseg * h)
+        mx = jax.ops.segment_max(colf, seg, num_segments=nseg * h)
+        mn = mn.reshape(nseg, h)
+        mx = mx.reshape(nseg, h)
+        has = mn <= mx  # absent pairs keep the min/max identities
+        return (
+            jnp.where(has, mn, big),
+            jnp.where(has, mx, -1),
+            has,
+        )
+
+    reg = jnp.arange(nseg, dtype=jnp.int32)
     rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)))
     nchunks = -(-h // rows)
     hp = nchunks * rows
