@@ -539,8 +539,9 @@ def _finalize_region_table(
         # labels beyond the static capacity clipped into one garbage
         # segment; the caller must re-run at a larger tier (or fall back
         # to the unbounded host path).  EXACT: a frame with precisely
-        # ``capacity`` regions stays on this tier.
-        return {"saturated": True}
+        # ``capacity`` regions stays on this tier.  max_label lets the
+        # caller jump STRAIGHT to the right tier instead of climbing.
+        return {"saturated": True, "max_label": int(row["max_label"][0])}
     meas = RP.RegionMeasurements(
         count=n,
         area=row["area"][: n + 1].astype(np.float64),
@@ -707,7 +708,6 @@ def region_tables_device(frames) -> list:
     import jax
     import jax.numpy as jnp
 
-    tokens = [_frame_token(f) for f in frames]
     shapes = [tuple(f.shape[:2]) for f in frames]
     # frames beyond the hull kernel's exact-int32 bound (2^14 per side)
     # take the unbounded host path wholesale
@@ -722,14 +722,37 @@ def region_tables_device(frames) -> list:
             host_grays[i] = g
         return g
 
+    def _token(i: int):
+        # record tokens are free; plain arrays hash the GRAY operand
+        # (what actually uploads — a third of the BGR bytes, so 4096²
+        # color frames stay under the hash cap and cache their upload)
+        fn = getattr(frames[i], "cache_token", None)
+        if callable(fn):
+            try:
+                token = fn()
+                hash(token)
+                return ("record", token)
+            except Exception:  # noqa: BLE001 — broken token means hash bytes
+                pass
+        return _frame_token(host_gray(i)) if i not in oversize else None
+
+    tokens = [_token(i) for i in range(len(frames))]
+
+    dev_grays: Dict[int, object] = {}  # per-call memo (tiers reuse uploads)
+
     def device_gray(i: int):
+        dev = dev_grays.get(i)
+        if dev is not None:
+            return dev
         if tokens[i] is None:  # uncacheable (oversized plain array)
-            return jax.device_put(host_gray(i))
-        dev = _GRAY_CACHE.get(tokens[i])
-        if dev is None:
-            g = host_gray(i)
-            dev = jax.device_put(g)
-            _GRAY_CACHE.put(tokens[i], dev, g.nbytes)
+            dev = jax.device_put(host_gray(i))
+        else:
+            dev = _GRAY_CACHE.get(tokens[i])
+            if dev is None:
+                g = host_gray(i)
+                dev = jax.device_put(g)
+                _GRAY_CACHE.put(tokens[i], dev, g.nbytes)
+        dev_grays[i] = dev
         return dev
 
 
@@ -787,12 +810,18 @@ def region_tables_device(frames) -> list:
 
     eligible = [i for i in range(len(frames)) if i not in oversize]
     tables: List[Dict] = [{"saturated": True}] * len(frames)
-    pending = eligible
+    pending = list(eligible)
     for capacity in (FAST_REGIONS, MID_REGIONS, MAX_REGIONS):
         if not pending:
             break
-        results = run_tier(pending, capacity)
-        for (labels, bundle), i in zip(results, pending):
+        # a saturated tier reports the frame's TRUE max label, so frames
+        # jump straight to the tier that fits instead of climbing through
+        # (and paying for) capacities that cannot hold them
+        run = [i for i in pending if tables[i].get("max_label", 0) <= capacity]
+        if not run:
+            continue
+        results = run_tier(run, capacity)
+        for (labels, bundle), i in zip(results, run):
             tables[i] = _finalize_region_table(bundle, labels, capacity)
         pending = [i for i in pending if tables[i].get("saturated")]
     return tables
