@@ -723,10 +723,13 @@ def region_tables_device(frames) -> list:
         return g
 
     def _token(i: int):
-        # record tokens are free; plain arrays hash the GRAY operand
-        # (what actually uploads — a third of the BGR bytes, so 4096²
-        # color frames stay under the hash cap and cache their upload)
-        fn = getattr(frames[i], "cache_token", None)
+        # record tokens are free.  Plain arrays hash the RAW frame when it
+        # fits the cap (warm hits then skip the gray conversion entirely);
+        # when the raw frame is over the cap, fall back to hashing the
+        # GRAY operand (what actually uploads — a third of the BGR bytes,
+        # so 4096² color frames still cache their upload).
+        frame = frames[i]
+        fn = getattr(frame, "cache_token", None)
         if callable(fn):
             try:
                 token = fn()
@@ -734,7 +737,12 @@ def region_tables_device(frames) -> list:
                 return ("record", token)
             except Exception:  # noqa: BLE001 — broken token means hash bytes
                 pass
-        return _frame_token(host_gray(i)) if i not in oversize else None
+        if i in oversize:
+            return None
+        if getattr(frame, "nbytes", 1 << 62) <= _HASH_TOKEN_MAX_BYTES:
+            return _frame_token(frame)
+        gray = host_gray(i)
+        return _frame_token(gray) if gray.nbytes <= _HASH_TOKEN_MAX_BYTES else None
 
     tokens = [_token(i) for i in range(len(frames))]
 
