@@ -468,3 +468,24 @@ def test_region_tables_third_tier_600_regions():
     assert table["meas"].count == meas.count == 625
     np.testing.assert_array_equal(table["solidity"], golden)
     np.testing.assert_array_equal(table["meas"].area, meas.area)
+
+
+def test_tier_ladder_skips_unfitting_capacity(monkeypatch):
+    """A 600-region frame must run tier-64 (to learn the count) then jump
+    STRAIGHT to tier-1024 — tier-512 cannot hold it and costs O(H*W*513)."""
+
+    seen = []
+    orig = XD._finalize_region_table
+
+    def spy(bundle, labels, capacity=XD.MAX_REGIONS):
+        seen.append(capacity)
+        return orig(bundle, labels, capacity)
+
+    monkeypatch.setattr(XD, "_finalize_region_table", spy)
+    img = np.zeros((200, 200), np.uint8)
+    for i in range(25):
+        for j in range(25):
+            img[2 + i * 8 : 6 + i * 8, 2 + j * 8 : 6 + j * 8] = 220
+    (table,) = XD.region_tables_device([np.repeat(img[..., None], 3, axis=-1)])
+    assert table["meas"].count == 625
+    assert seen == [XD.FAST_REGIONS, XD.MAX_REGIONS], seen
