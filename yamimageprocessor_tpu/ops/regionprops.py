@@ -219,20 +219,77 @@ def row_extremes_j(labels, max_regions: int):
     big = jnp.int32(1) << 29
 
     if nseg > 128:
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        seg = (jnp.clip(labels, 0, max_regions) * h + rows_i).ravel()
-        colf = cols_i.ravel()
-        mn = jax.ops.segment_min(colf, seg, num_segments=nseg * h)
-        mx = jax.ops.segment_max(colf, seg, num_segments=nseg * h)
-        mn = mn.reshape(nseg, h)
-        mx = mx.reshape(nseg, h)
-        has = mn <= mx  # absent pairs keep the min/max identities
-        return (
-            jnp.where(has, mn, big),
-            jnp.where(has, mx, -1),
-            has,
-        )
+        # large capacities: the labeler numbers regions by raster-first
+        # occurrence, so the labels present in a short row chunk span a
+        # narrow window — each chunk reduces over 128 LOCAL lanes
+        # (background lane 0 + a 127-label window anchored at the chunk's
+        # min foreground label) and writes the window back at its offset:
+        # O(H*W*128) lane work instead of O(H*W*capacity) (or the
+        # per-pixel-serializing TPU segment scatter).  A chunk whose label
+        # span overflows the window (non-raster-local layouts) reduces
+        # over the full capacity via lax.cond.
+        win = 128
+        wfg = win - 1
+        reg_loc = jnp.arange(win, dtype=jnp.int32)
+        reg_full = jnp.arange(nseg, dtype=jnp.int32)
+        rows = max(1, min(h, (1 << 23) // max(w * win, 1)), -(-h // 256))
+        nchunks = -(-h // rows)
+        hp = nchunks * rows
+        labp = jnp.pad(labels, ((0, hp - h), (0, 0)), constant_values=-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)[..., None]
+
+        def body(i, acc):
+            chunk = jax.lax.dynamic_slice(labp, (i * rows, 0), (rows, w))
+            fg = chunk > 0
+            base = jnp.min(jnp.where(fg, chunk, big))
+            base_c = jnp.clip(base, 1, nseg - wfg)
+            maxlab = jnp.max(jnp.where(fg, chunk, 0))
+            fits = maxlab <= base_c + (wfg - 1)
+
+            def local(a):
+                mn_acc, mx_acc = a
+                loc = jnp.where(
+                    fg, chunk - base_c + 1, jnp.where(chunk == 0, 0, -1)
+                )
+                eq = loc[:, :, None] == reg_loc
+                mnl = jnp.min(jnp.where(eq, cols, big), axis=1)
+                mxl = jnp.max(jnp.where(eq, cols, -1), axis=1)
+                mn_acc = jax.lax.dynamic_update_slice(
+                    mn_acc, mnl[:, :1], (i * rows, 0)
+                )
+                mx_acc = jax.lax.dynamic_update_slice(
+                    mx_acc, mxl[:, :1], (i * rows, 0)
+                )
+                mn_acc = jax.lax.dynamic_update_slice(
+                    mn_acc, mnl[:, 1:], (i * rows, base_c)
+                )
+                mx_acc = jax.lax.dynamic_update_slice(
+                    mx_acc, mxl[:, 1:], (i * rows, base_c)
+                )
+                return mn_acc, mx_acc
+
+            def full(a):
+                mn_acc, mx_acc = a
+                eq = chunk[:, :, None] == reg_full
+                mnf = jnp.min(jnp.where(eq, cols, big), axis=1)
+                mxf = jnp.max(jnp.where(eq, cols, -1), axis=1)
+                mn_acc = jax.lax.dynamic_update_slice(
+                    mn_acc, mnf, (i * rows, 0)
+                )
+                mx_acc = jax.lax.dynamic_update_slice(
+                    mx_acc, mxf, (i * rows, 0)
+                )
+                return mn_acc, mx_acc
+
+            return jax.lax.cond(fits, local, full, acc)
+
+        mn0 = jnp.full((hp, nseg), big, jnp.int32)
+        mx0 = jnp.full((hp, nseg), -1, jnp.int32)
+        mn, mx = jax.lax.fori_loop(0, nchunks, body, (mn0, mx0))
+        mn = mn[:h].T
+        mx = mx[:h].T
+        has = mx >= 0
+        return jnp.where(has, mn, big), jnp.where(has, mx, -1), has
 
     reg = jnp.arange(nseg, dtype=jnp.int32)
     rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)))
@@ -313,17 +370,31 @@ def _moment_sums_matmul(lab, pw, s_r, s_c, nseg: int):
     """(nseg, 7) per-region sums of [1, dr, dc, dr², dc², dr·dc, pw] via
     chunked one-hot matmuls (MXU), dr/dc measured from the per-region
     shift origins ``s_r``/``s_c`` (gathered per pixel by a one-hot matvec
-    — no TPU gather)."""
+    — no TPU gather).
+
+    Large capacities (nseg > 256) exploit the labeler's raster-first
+    numbering: the labels in a short row chunk span a narrow window, so
+    the chunk contracts a 128-lane LOCAL one-hot (background lane 0 + a
+    127-label window anchored at the chunk's min foreground label) and
+    adds the partial sums into the global table at the window offset —
+    O(H*W*128) lane work instead of O(H*W*capacity), with identical
+    per-lane contraction lengths.  A chunk whose label span overflows the
+    window takes the full-capacity contraction via lax.cond."""
 
     import jax
     import jax.numpy as jnp
 
     h, w = lab.shape
-    reg = jnp.arange(nseg, dtype=jnp.int32)
+    big = jnp.int32(1) << 29
+    local = nseg > 256
+    win = 128 if local else nseg
+    wfg = win - 1
+    reg = jnp.arange(win, dtype=jnp.int32)
+    reg_full = jnp.arange(nseg, dtype=jnp.int32)
     # ~32 MB one-hot per chunk, but never more than 256 chunks: at the
     # 512-region tier on large frames the per-chunk fori overhead would
     # otherwise dominate (total HBM traffic is chunking-invariant)
-    rows = max(1, min(h, (1 << 23) // max(w * nseg, 1)), -(-h // 256))
+    rows = max(1, min(h, (1 << 23) // max(w * win, 1)), -(-h // 256))
     nchunks = -(-h // rows)
     hp = nchunks * rows
     # pad rows with -1: they match NO lane, so padding contributes nothing
@@ -341,6 +412,15 @@ def _moment_sums_matmul(lab, pw, s_r, s_c, nseg: int):
     # is exact either way
     hi = jax.lax.Precision.HIGHEST
 
+    def _vals(onehot, sr, sc, rrf, pwc):
+        dr = rrf - jnp.matmul(onehot, sr, precision=hi)
+        dc = ccf - jnp.matmul(onehot, sc, precision=hi)
+        vals = jnp.stack(
+            [jnp.ones_like(dr), dr, dc, dr * dr, dc * dc, dr * dc, pwc],
+            axis=1,
+        )
+        return jnp.matmul(onehot.T, vals, precision=hi)
+
     def body(i, acc):
         chunk = jax.lax.dynamic_slice(labp, (i * rows, 0), (rows, w))
         flat = chunk.reshape(-1)
@@ -348,14 +428,35 @@ def _moment_sums_matmul(lab, pw, s_r, s_c, nseg: int):
             jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + i * rows
         ).reshape(-1).astype(jnp.float32)
         pwc = jax.lax.dynamic_slice(pwp, (i * rows, 0), (rows, w)).reshape(-1)
-        onehot = (flat[:, None] == reg[None, :]).astype(jnp.float32)
-        dr = rrf - jnp.matmul(onehot, s_r, precision=hi)
-        dc = ccf - jnp.matmul(onehot, s_c, precision=hi)
-        vals = jnp.stack(
-            [jnp.ones_like(dr), dr, dc, dr * dr, dc * dc, dr * dc, pwc],
-            axis=1,
-        )
-        return acc + jnp.matmul(onehot.T, vals, precision=hi)
+        if not local:
+            onehot = (flat[:, None] == reg[None, :]).astype(jnp.float32)
+            return acc + _vals(onehot, s_r, s_c, rrf, pwc)
+
+        fg = flat > 0
+        base = jnp.min(jnp.where(fg, flat, big))
+        base_c = jnp.clip(base, 1, nseg - wfg)
+        maxlab = jnp.max(jnp.where(fg, flat, 0))
+        fits = maxlab <= base_c + (wfg - 1)
+
+        def local_fn(a):
+            loc = jnp.where(fg, flat - base_c + 1, jnp.where(flat == 0, 0, -1))
+            onehot = (loc[:, None] == reg[None, :]).astype(jnp.float32)
+            sr = jnp.concatenate(
+                [s_r[:1], jax.lax.dynamic_slice(s_r, (base_c,), (wfg,))]
+            )
+            sc = jnp.concatenate(
+                [s_c[:1], jax.lax.dynamic_slice(s_c, (base_c,), (wfg,))]
+            )
+            part = _vals(onehot, sr, sc, rrf, pwc)
+            accw = jax.lax.dynamic_slice(a, (base_c, 0), (wfg, 7))
+            a = jax.lax.dynamic_update_slice(a, accw + part[1:], (base_c, 0))
+            return a.at[0].add(part[0])
+
+        def full_fn(a):
+            onehot = (flat[:, None] == reg_full[None, :]).astype(jnp.float32)
+            return a + _vals(onehot, s_r, s_c, rrf, pwc)
+
+        return jax.lax.cond(fits, local_fn, full_fn, acc)
 
     return jax.lax.fori_loop(
         0, nchunks, body, jnp.zeros((nseg, 7), jnp.float32)
@@ -467,6 +568,9 @@ def _perimeter_weights_j(labels):
 #     exact rational (p // q) equals the host's f64 + 1e-9-epsilon
 #     scan-line arithmetic exactly (rationals with denominator <= 2^14
 #     are either integers or >= 6e-5 from one).
+_HULL_ROW_CAP = 256  # compact fast-path window (bbox rows per region)
+
+
 def hull_pixel_areas_j(mn, mx, has, max_iters: int = 64):
     """Filled-convex-hull pixel count per region, fully on device.
 
@@ -481,7 +585,136 @@ def hull_pixel_areas_j(mn, mx, has, max_iters: int = 64):
     :func:`convex_hull_points` for every region, including degenerate
     (collinear / single-row) hulls, where both reduce to the member pixel
     count.  Valid for frames up to 16384 on a side (int32 cross bound).
+
+    Dispatch: a region's hull geometry lives entirely inside its bbox
+    rows, so when every bbox is at most ``_HULL_ROW_CAP`` rows tall the
+    chains run over per-region COMPACTED row windows (16x less lane work
+    at 4096² and an exact single-reduce slope argmax instead of the
+    pairwise tournament — see :func:`_hull_areas_compact`); frames with a
+    taller region take the full-width tournament path via ``lax.cond``.
     """
+
+    import jax
+    import jax.numpy as jnp
+
+    nseg, h = mx.shape
+    if h <= _HULL_ROW_CAP:
+        return _hull_areas_chains(mn, mx, has, max_iters)
+
+    big = jnp.int32(1) << 29
+    t = jnp.arange(h, dtype=jnp.int32)
+    minr = jnp.min(jnp.where(has, t[None, :], big), axis=1)
+    maxr = jnp.max(jnp.where(has, t[None, :], -1), axis=1)
+    tall = jnp.any((maxr >= 0) & (maxr - minr + 1 > _HULL_ROW_CAP))
+    return jax.lax.cond(
+        tall,
+        lambda ops: _hull_areas_chains(*ops, max_iters),
+        lambda ops: _hull_areas_compact(*ops, max_iters),
+        (mn, mx, has),
+    )
+
+
+def _hull_areas_compact(mn, mx, has, max_iters: int = 64):
+    """Compact-window gift wrap: each lane's candidates are gathered into
+    a ``_HULL_ROW_CAP``-row window starting at the region's ``minr`` (hull
+    rows outside the bbox don't exist), and the next-vertex search runs as
+    an EXACT 2-pass slope argmax — local ``dr <= 255`` keeps the scaled
+    slope ``(dx << 16) // dr`` exact in int32 (distinct rationals with
+    denominators <= 255 differ by >= 2^-16, so scaled floors differ by
+    >= 1), ties resolved to the farthest row like the tournament's
+    ``(cross == 0) & (r1 > r0)`` pop."""
+
+    import jax
+    import jax.numpy as jnp
+
+    nseg, h = mx.shape
+    cap = _HULL_ROW_CAP
+    big = jnp.int32(1) << 29
+    kmin = jnp.iinfo(jnp.int32).min
+    t = jnp.arange(h, dtype=jnp.int32)
+    lt = jnp.arange(cap, dtype=jnp.int32)
+
+    minr = jnp.min(jnp.where(has, t[None, :], big), axis=1)
+    maxr = jnp.max(jnp.where(has, t[None, :], -1), axis=1)
+    start = jnp.clip(minr, 0, h - 1)
+    idx = jnp.clip(start[:, None] + lt[None, :], 0, h - 1)
+    # local validity re-derives from the gathered has: clipped duplicate
+    # rows past maxr are masked by the height bound
+    heights = maxr - minr  # >= 0 for present regions, < 0 for empty
+    ok = jnp.take_along_axis(has, idx, axis=1) & (lt[None, :] <= heights[:, None])
+    mxc = jnp.take_along_axis(mx, idx, axis=1)
+    mnc = jnp.take_along_axis(mn, idx, axis=1)
+
+    # lanes 0..nseg-1: right chain over mx; lanes nseg..: left chain as a
+    # right chain over -mn (floor(-LX) = -ceil(LX))
+    x_lanes = jnp.concatenate(
+        [jnp.where(ok, mxc, -big), jnp.where(ok, -mnc, -big)], axis=0
+    )
+    has_l = jnp.concatenate([ok, ok], axis=0)
+    hgt_l = jnp.concatenate([heights, heights], axis=0)
+    lanes = 2 * nseg
+
+    empty = hgt_l < 0
+    cur_r = jnp.zeros((lanes,), jnp.int32)  # local row 0 == global minr
+    cur_x = x_lanes[:, 0]
+    # seed boundary rows with the start vertex (covers single-row hulls)
+    rxf = jnp.where(
+        (lt[None, :] == 0) & ~empty[:, None], cur_x[:, None], -big
+    )
+    done = empty | (cur_r >= hgt_l)
+
+    def next_vertex(cur_r, cur_x, done):
+        valid = has_l & (lt[None, :] > cur_r[:, None]) & ~done[:, None]
+        dr = jnp.maximum(lt[None, :] - cur_r[:, None], 1)
+        dx = x_lanes - cur_x[:, None]  # |dx| <= 2^15 where valid
+        key = jnp.where(valid, (dx << 16) // dr, kmin)
+        kmax = jnp.max(key, axis=1)
+        nv = kmax > kmin
+        nr = jnp.max(
+            jnp.where(valid & (key == kmax[:, None]), lt[None, :], 0), axis=1
+        )
+        nx = jnp.take_along_axis(x_lanes, nr[:, None], axis=1)[:, 0]
+        return nr, nx, nv
+
+    def cond(state):
+        _, _, done, _, it = state
+        return (it < max_iters) & jnp.any(~done)
+
+    def body(state):
+        cur_r, cur_x, done, rxf, it = state
+        nr, nx, nv = next_vertex(cur_r, cur_x, done)
+        step = ~done & nv
+        dr = jnp.maximum(jnp.where(step, nr - cur_r, 1), 1)
+        dx = nx - cur_x
+        # exact rational boundary: floor((x0*dr + (t-r0)*dx) / dr)
+        num = cur_x[:, None] * dr[:, None] + (
+            lt[None, :] - cur_r[:, None]
+        ) * dx[:, None]
+        interp = num // dr[:, None]
+        seg = (
+            step[:, None]
+            & (lt[None, :] >= cur_r[:, None])
+            & (lt[None, :] <= nr[:, None])
+        )
+        rxf = jnp.maximum(rxf, jnp.where(seg, interp, -big))
+        cur_r = jnp.where(step, nr, cur_r)
+        cur_x = jnp.where(step, nx, cur_x)
+        done = done | (cur_r >= hgt_l) | ~nv
+        return cur_r, cur_x, done, rxf, it + 1
+
+    state = (cur_r, cur_x, done, rxf, jnp.int32(0))
+    _, _, done, rxf, _ = jax.lax.while_loop(cond, body, state)
+
+    widths = rxf[:nseg] + rxf[nseg:] + 1
+    areas = jnp.sum(jnp.where(ok, widths, 0), axis=1)
+    saturated = ~done[:nseg] | ~done[nseg:]
+    return areas, saturated
+
+
+def _hull_areas_chains(mn, mx, has, max_iters: int = 64):
+    """Full-width gift wrap (pairwise-tournament next vertex) — the
+    fallback for frames with a region taller than ``_HULL_ROW_CAP`` rows,
+    and the direct path for short frames."""
 
     import jax
     import jax.numpy as jnp
