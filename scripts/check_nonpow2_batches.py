@@ -33,16 +33,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # this image force-sets JAX_PLATFORMS to the accelerator via sitecustomize
 # (which wins over the env var), so the safe default must override through
-# jax.config BEFORE anything traces
+# jax.config BEFORE anything traces.  Only when run AS A SCRIPT — pytest
+# imports this module for run_sweep() and must keep its own backend choice.
 import jax  # noqa: E402
 
-if "--tpu" not in sys.argv:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    jax.config.update("jax_platforms", "cpu")
-else:
-    from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
+if __name__ == "__main__":
+    if "--tpu" not in sys.argv:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from yamimageprocessor_tpu.utils.jaxcache import enable_persistent_cache
 
-    enable_persistent_cache()  # bounds the 8 batch-size compiles to once
+        enable_persistent_cache()  # bounds the 8 batch-size compiles to once
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -64,12 +66,13 @@ def busy_frame(seed: int) -> np.ndarray:
     return frame
 
 
-def main() -> None:
-    print(
-        f"backend={jax.default_backend()}  devices={len(jax.devices())}",
-        flush=True,
-    )
-    frames = [busy_frame(s) for s in range(8)]
+def run_sweep(batch_sizes=(1, 2, 4, 8, 3, 5, 6, 7), verbose: bool = True) -> None:
+    """Run the production batched bundle at each batch size and assert
+    bit-exact solidity/count vs the host golden.  Importable so the
+    ``YAM_TPU_TESTS=1`` pytest tier runs the same sweep the script does
+    (tests/test_performance_budgets.py::test_tpu_nonpow2_batch_sweep)."""
+
+    frames = [busy_frame(s) for s in range(max(batch_sizes))]
     goldens = []
     for f in frames:
         labels = labeling.label_np(f > 0)
@@ -77,7 +80,7 @@ def main() -> None:
         goldens.append((meas, RP.solidity_np(labels, meas)))
 
     fn = XD._jitted_region_packed_batch(XD.FAST_REGIONS)
-    for b in (1, 2, 4, 8, 3, 5, 6, 7):  # pow2 first: prove content is fine
+    for b in batch_sizes:  # pow2 first: prove content is fine
         stack = jnp.asarray(np.stack(frames[:b]))
         labels_b, bundles_b = fn(stack)
         bundles = np.asarray(bundles_b)  # forces execution + D2H
@@ -91,7 +94,16 @@ def main() -> None:
             np.testing.assert_array_equal(table["solidity"], sol)
         # flush per size: if the worker dies mid-sweep, the log must show
         # which batch size was in flight
-        print(f"batch={b}: OK  regions={goldens[0][0].count}", flush=True)
+        if verbose:
+            print(f"batch={b}: OK  regions={goldens[0][0].count}", flush=True)
+
+
+def main() -> None:
+    print(
+        f"backend={jax.default_backend()}  devices={len(jax.devices())}",
+        flush=True,
+    )
+    run_sweep()
     print(
         "all batch sizes survived with bit-exact solidity — no padding needed",
         flush=True,

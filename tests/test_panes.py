@@ -269,8 +269,8 @@ def test_extraction_pane(core, controller, tmp_path):
     img[16:48, 16:48] = 210
     written = pane.export_all_extraction_data(img, tmp_path / "csv", base_name="x")
     assert sorted(p.name for p in written) == [
-        "x_histogram.csv",
-        "x_region_properties.csv",
+        "x_Histogram.csv",
+        "x_Region Properties.csv",
     ]
     count = pane.export_segmented_regions(img, tmp_path / "img.png")
     assert count == 1

@@ -106,7 +106,9 @@ def test_tpu_preprocess_chain_budget(rng):
     elapsed = time.monotonic() - start
     assert checksum >= 0
     rate = iters * 8 * 2048 * 2048 * 3 / 1e9 / elapsed
-    assert rate > 8.0, f"{rate:.2f} GPix*steps/s"
+    # ~0.5x the 33-34 GPix*steps/s measured in rounds 3-4 so a real
+    # regression fails while relay jitter doesn't flake
+    assert rate > 16.0, f"{rate:.2f} GPix*steps/s"
 
 
 def test_tpu_watershed_4096_budget():
@@ -165,14 +167,15 @@ def test_tpu_segmentation_2048_fps_budget():
     outs = [run(dev) for _ in range(reps)]
     jax.block_until_ready(outs)
     elapsed = time.monotonic() - start
-    # round-3 measured 43-52 fps; 15 keeps ~3x headroom for relay variance
-    # while catching a regression to round-2 performance (17.5 fps)
-    assert reps / elapsed > 15.0, f"{reps / elapsed:.2f} fps"
+    # round-4 measured ~94 fps; 45 is ~0.5x measured so a real regression
+    # (e.g. back to round-2's 17.5 fps) fails while relay variance doesn't
+    assert reps / elapsed > 45.0, f"{reps / elapsed:.2f} fps"
 
 
 def test_tpu_extraction_budget():
-    """BASELINE config 4: region_properties data path >= 1 MPix/s on a
-    1024^2 dense scene (measured ~3 after the hull rewrite)."""
+    """BASELINE config 4: region_properties data path on a 1024^2 dense
+    scene (round-4 measured ~27.7 MPix/s; floor ~0.5x so a regression back
+    toward the round-3 9.4 MPix/s fails)."""
 
     _tpu_or_skip()
 
@@ -187,7 +190,28 @@ def test_tpu_extraction_budget():
     elapsed = time.monotonic() - start
     assert len(df) > 0
     rate = 1024 * 1024 / 1e6 / elapsed
-    assert rate > 0.8, f"{rate:.2f} MPix/s"
+    assert rate > 12.0, f"{rate:.2f} MPix/s"
+
+
+def test_tpu_nonpow2_batch_sweep():
+    """Regression gate for the round-3 XLA:TPU vmapped-hull worker fault:
+    the production batched extraction bundle must survive every batch size
+    1..8 (non-pow2 included) with bit-exact solidity — no padding.  Wired
+    into the YAM_TPU_TESTS tier per round-4 verdict so a backend upgrade
+    can't silently regress it between manual runs of
+    scripts/check_nonpow2_batches.py."""
+
+    _tpu_or_skip()
+
+    import sys
+    from pathlib import Path
+
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from check_nonpow2_batches import run_sweep
+
+    run_sweep(verbose=False)
 
 
 def test_tpu_gigapixel_streaming_budget(rng):

@@ -102,13 +102,63 @@ def test_export_extraction_csvs(tmp_path):
     ]
     written = export_all_extraction_data(img, steps, tmp_path / "csv", base_name="img")
     names = sorted(p.name for p in written)
+    # verbatim method names, matching ui/extraction.py:1858-1859
     assert names == [
+        "img_Haralick.csv",
+        "img_Histogram.csv",
+        "img_Region Properties.csv",
+    ]
+    header = (
+        (tmp_path / "csv" / "img_Region Properties.csv").read_text().splitlines()[0]
+    )
+    assert header.startswith("region_index,area,perimeter,centroid")
+    sanitized = export_all_extraction_data(
+        img, steps, tmp_path / "csv_safe", base_name="img", sanitize_names=True
+    )
+    assert sorted(p.name for p in sanitized) == [
         "img_haralick.csv",
         "img_histogram.csv",
         "img_region_properties.csv",
     ]
-    header = (tmp_path / "csv" / "img_region_properties.csv").read_text().splitlines()[0]
-    assert header.startswith("region_index,area,perimeter,centroid")
+
+
+def test_export_extraction_csv_layout_all_methods(tmp_path):
+    """Filename + column layout parity for every extraction method that the
+    reference's export flow emits (``ui/extraction.py:1816-1859``)."""
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[10:40, 10:40] = 200
+    img[45:60, 45:60] = 120
+    methods = [
+        "Region Properties",
+        "Hu Moments",
+        "LBP",
+        "Haralick",
+        "Gabor",
+        "Fourier",
+        "HOG",
+        "Histogram",
+        "Fractal",
+        "Approximate Shape",
+    ]
+    steps = [PipelineStep(name=m, stage=Stage.ANALYSIS) for m in methods]
+    written = export_all_extraction_data(img, steps, tmp_path / "csv", base_name="extraction")
+    assert [p.name for p in written] == [f"extraction_{m}.csv" for m in methods]
+    headers = {
+        p.name: p.read_text().splitlines()[0] for p in written
+    }
+    # column sets per reference *_data functions (core/extraction.py:57-421)
+    assert headers["extraction_Region Properties.csv"].split(",")[:4] == [
+        "region_index",
+        "area",
+        "perimeter",
+        "centroid",
+    ]
+    assert headers["extraction_Hu Moments.csv"] == ",".join(
+        f"hu_{i}" for i in range(1, 8)
+    )
+    assert headers["extraction_Histogram.csv"] == "mean,variance,skewness,kurtosis"
+    assert "fractal_dimension" in headers["extraction_Fractal.csv"]
 
 
 # ---------------------------------------------------------------------------

@@ -201,9 +201,17 @@ def export_all_extraction_data(
     output_folder: Path,
     *,
     base_name: str = "extraction",
+    sanitize_names: bool = False,
 ) -> List[Path]:
-    """One CSV per enabled extraction method
-    (``ui/extraction.py:1816-1859`` file layout: ``<base>_<method>.csv``)."""
+    """One CSV per enabled extraction method.
+
+    File layout matches the reference verbatim
+    (``ui/extraction.py:1858-1859``): ``<base>_<method>.csv`` with the
+    method name exactly as registered, including spaces — e.g.
+    ``extraction_Region Properties.csv``.  Pass ``sanitize_names=True``
+    for a filesystem-conservative ``<base>_<method_lower_underscored>.csv``
+    variant instead.
+    """
 
     output_folder = Path(output_folder)
     output_folder.mkdir(parents=True, exist_ok=True)
@@ -215,8 +223,10 @@ def export_all_extraction_data(
         if impl is None or impl.data_fn is None:
             continue
         frame = impl.data_fn(image, **step.params)
-        safe = step.name.replace("/", "_").replace(" ", "_").lower()
-        target = output_folder / f"{base_name}_{safe}.csv"
+        method = impl.schema.method
+        if sanitize_names:
+            method = method.replace("/", "_").replace(" ", "_").lower()
+        target = output_folder / f"{base_name}_{method}.csv"
         frame.to_csv(target, index=False)
         written.append(target)
     return written
