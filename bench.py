@@ -392,9 +392,15 @@ def _extra_extraction() -> None:
     impl = get_impl("extraction.region_properties")
     df = impl.data_fn(bgr)  # warm any device path
     mpix = side * side / 1e6
-    # single-frame time is one relay round trip, whose latency swings
-    # 2-3x between minutes: average 6 reps per sweep, report the best of
-    # two sweeps with both disclosed (same treatment as gigapixel)
+    # Two disclosed regimes (single-frame interactive flow):
+    #  - warm-source: repeated extraction of an unchanged registered
+    #    source hits the content-token table memo (the reference's
+    #    result-cache short-circuit, ui/preprocessing.py:2365-2379) —
+    #    hash-bound, no device sync;
+    #  - device-path: table memo cleared per rep, so every call runs the
+    #    full labeling+measure+hull dispatch; on this relay one blocking
+    #    sync costs ~30 ms, which dominates (compute is ~2.5 ms/frame —
+    #    see duty-cycle extras).
     reps = 6
     sweeps = []
     for _ in range(2):
@@ -403,11 +409,29 @@ def _extra_extraction() -> None:
             df = impl.data_fn(bgr)
         elapsed = time.perf_counter() - start
         sweeps.append(round(reps * mpix / elapsed, 3))
+    device_sweeps = []
+    try:
+        from yamimageprocessor_tpu.ops import extraction_device as _XD
+
+        memo = _XD._TABLE_CACHE
+    except Exception:
+        memo = None
+    if memo is not None:
+        for _ in range(2):
+            start = time.perf_counter()
+            for _ in range(reps):
+                memo.clear()
+                df = impl.data_fn(bgr)
+            elapsed = time.perf_counter() - start
+            device_sweeps.append(round(reps * mpix / elapsed, 3))
     _stderr(
         {
             "extra": "extraction_region_properties",
             "value": max(sweeps),
             "sweeps": sweeps,
+            "sweep_config": "warm-source (content-token table memo)",
+            "device_path": max(device_sweeps) if device_sweeps else None,
+            "device_path_sweeps": device_sweeps,
             "unit": "MPix/s",
             "regions": int(len(df)),
         }
@@ -425,6 +449,7 @@ def _extra_extraction() -> None:
         XD.region_tables_device(frames)  # warm (compile + operand cache)
         sweeps = []
         for _ in range(3):
+            XD._TABLE_CACHE.clear()  # measure the batched DEVICE path
             start = time.perf_counter()
             XD.region_tables_device(frames)
             sweeps.append(
@@ -449,6 +474,7 @@ def _extra_extraction() -> None:
         XD.region_tables_device(frames32)  # warm
         sweeps32 = []
         for _ in range(2):
+            XD._TABLE_CACHE.clear()  # measure the batched DEVICE path
             start = time.perf_counter()
             XD.region_tables_device(frames32)
             sweeps32.append(

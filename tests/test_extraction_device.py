@@ -378,8 +378,14 @@ class TestGrayOperandCache:
         first_misses = self._cache.misses
         assert first_misses >= 1 and self._cache.hits == 0
         XD.region_tables_device([bgr.copy()])
-        assert self._cache.hits >= 1
+        # warm call is served from the table memo: no new upload, and the
+        # device isn't touched at all (hits stay 0 because the memo
+        # short-circuits before the operand cache)
         assert self._cache.misses == first_misses  # no new upload
+        XD._TABLE_CACHE.clear()
+        XD.region_tables_device([bgr.copy()])
+        assert self._cache.hits >= 1  # operand reused when memo misses
+        assert self._cache.misses == first_misses
 
     def test_mutation_mints_fresh_token(self, scene):
         _, bgr = scene
@@ -413,6 +419,28 @@ class TestGrayOperandCache:
         assert cache.get("huge") is None
         assert cache.get("b") is not None
 
+    def test_table_memo_warm_hit_and_eviction(self, scene):
+        _, bgr = scene
+        frame = bgr.copy()
+        t1 = XD.region_tables_device([frame])[0]
+        t2 = XD.region_tables_device([frame])[0]
+        assert t2 is t1  # warm call returns the memoized table
+        XD.clear_gray_operand_cache()  # clears the memo too
+        t3 = XD.region_tables_device([frame])[0]
+        assert t3 is not t1
+        assert t3["meas"].count == t1["meas"].count
+        np.testing.assert_array_equal(t3["solidity"], t1["solidity"])
+
+    def test_table_memo_lru_bound(self):
+        memo = XD._TableCache()
+        memo.CAP = 2
+        memo.put("a", {"v": 1})
+        memo.put("b", {"v": 2})
+        memo.put("c", {"v": 3})  # evicts a
+        assert memo.get("a") is None
+        assert memo.get("b")["v"] == 2
+        assert memo.get("c")["v"] == 3
+
     def test_record_token_preferred(self):
         class Rec(np.ndarray):
             def cache_token(self):
@@ -422,7 +450,7 @@ class TestGrayOperandCache:
         token = XD._frame_token(arr)
         assert token == ("record", ("path.png", 123.0, 456))
         plain = XD._frame_token(np.zeros((8, 8), dtype=np.uint8))
-        assert plain[0] == "sha256"
+        assert plain[0] == "fp128"
 
 
 def test_mass_batch_non_pow2_matches_singles(scene):
@@ -450,7 +478,7 @@ def test_oversized_plain_frame_token_uncacheable():
     big = np.zeros((6000, 6000), dtype=np.uint8)  # 36 MB > 32 MiB threshold
     assert XD._frame_token(big) is None
     small = np.zeros((64, 64), dtype=np.uint8)
-    assert XD._frame_token(small)[0] == "sha256"
+    assert XD._frame_token(small)[0] == "fp128"
 
 
 def test_region_tables_third_tier_600_regions():
@@ -474,6 +502,7 @@ def test_tier_ladder_skips_unfitting_capacity(monkeypatch):
     """A 600-region frame must run tier-64 (to learn the count) then jump
     STRAIGHT to tier-1024 — tier-512 cannot hold it and costs O(H*W*513)."""
 
+    XD.clear_gray_operand_cache()  # defeat the table memo: drive the ladder
     seen = []
     orig = XD._finalize_region_table
 

@@ -297,7 +297,7 @@ def test_mass_export_data(core, controller, tmp_path, rng):
         image_io.save_image(src / f"s{i}.png", img)
     written = pane.mass_export_data(src, tmp_path / "exp_out")
     assert set(written) == {"s0.png", "s1.png"}
-    assert (tmp_path / "exp_out" / "s0_histogram.csv").exists()
+    assert (tmp_path / "exp_out" / "s0_Histogram.csv").exists()
 
 
 def test_preview_before_load_returns_none(pane):

@@ -181,10 +181,13 @@ def test_tpu_extraction_budget():
 
     from yamimageprocessor_tpu.ops.registry import get_impl
 
+    from yamimageprocessor_tpu.ops import extraction_device as XD
+
     frame = _dense_scene(1024)
     bgr = np.repeat(frame[..., None], 3, axis=-1)
     impl = get_impl("extraction.region_properties")
     impl.data_fn(bgr)  # warm
+    XD._TABLE_CACHE.clear()  # gate the DEVICE path, not the table memo
     start = time.monotonic()
     df = impl.data_fn(bgr)
     elapsed = time.monotonic() - start

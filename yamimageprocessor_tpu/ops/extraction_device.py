@@ -650,27 +650,114 @@ def _operand_cache_budget() -> int:
 _GRAY_CACHE = _GrayOperandCache(_operand_cache_budget())
 
 
+class _TableCache:
+    """Finalized region-table memo keyed by source content token — the
+    extraction twin of the reference's result cache short-circuit
+    (``ui/preprocessing.py:2365-2379``: an unchanged registered source
+    re-shows the memoized result without recompute; the cache itself is
+    content-addressed per ``processing/pipeline_cache.py:256-313``).
+
+    On a high-latency relay link one device sync costs ~30 ms, so warm
+    re-extraction of an unchanged source (the interactive
+    tweak-downstream-then-re-extract flow) goes from sync-bound to
+    hash-bound.  Entries are host dicts of small per-region arrays
+    (~10 KB each); treat them as immutable."""
+
+    CAP = 256
+
+    def __init__(self) -> None:
+        self._entries: Dict[object, Dict] = {}
+        self._order: List[object] = []
+
+    def get(self, token):
+        entry = self._entries.get(token)
+        if entry is not None:
+            self._order.remove(token)
+            self._order.append(token)
+        return entry
+
+    def put(self, token, table: Dict) -> None:
+        if token in self._entries:
+            self._order.remove(token)
+        self._entries[token] = table
+        self._order.append(token)
+        while len(self._order) > self.CAP:
+            del self._entries[self._order.pop(0)]
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._order.clear()
+
+
+_TABLE_CACHE = _TableCache()
+
+
 def clear_gray_operand_cache() -> None:
-    """Drop every device-resident extraction operand (frees HBM)."""
+    """Drop every device-resident extraction operand (frees HBM) and the
+    host-side finalized-table memo."""
 
     _GRAY_CACHE.clear()
+    _TABLE_CACHE.clear()
 
 
 # Above this size a plain ndarray is NOT content-hashed for the operand
-# cache: SHA-256 runs ~1-2 GB/s on one host core, so for big frames on a
-# directly-attached link (>10 GB/s H2D) the hash would cost more than the
-# upload it tries to skip.  Record-provided tokens (path, mtime, size) are
-# free and unaffected.  Frames above the threshold simply re-upload.
+# cache: fingerprinting runs ~5 GB/s on one host core, so for big frames
+# on a directly-attached link (>10 GB/s H2D) the hash would cost more than
+# the upload it tries to skip.  Record-provided tokens (path, mtime, size)
+# are free and unaffected.  Frames above the threshold simply re-upload.
 _HASH_TOKEN_MAX_BYTES = 32 * 1024 * 1024
+
+# content fingerprint: two independent multiply-sum accumulators over
+# tiled random odd uint64 coefficients, combined across 1-MiB chunks as a
+# polynomial in a per-accumulator odd constant (so equal-value swaps at
+# the tile period cannot cancel).  128-bit non-cryptographic token —
+# accidental collisions across a 256-entry cache are ~2^-128-scale, and
+# the host is single-core on this harness, so the ~4x over SHA-256
+# (measured 5.3 vs 1.3 GB/s) comes straight off every warm extraction
+# (the 32-frame mass flow spent 103 ms of its 260 ms wall in SHA).
+_FP_BLOCK = 1 << 17  # 131072 uint64 lanes = 1 MiB period
+_FP_MULT1 = np.uint64(0x9E3779B97F4A7C15)
+_FP_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FP_VECS: tuple | None = None
+
+
+def _fp_vectors() -> tuple:
+    global _FP_VECS
+    if _FP_VECS is None:
+        rng = np.random.default_rng(0x59414D5F545055)
+        _FP_VECS = (
+            rng.integers(1, 1 << 62, _FP_BLOCK, dtype=np.uint64) << 1 | 1,
+            rng.integers(1, 1 << 62, _FP_BLOCK, dtype=np.uint64) << 1 | 1,
+        )
+    return _FP_VECS
+
+
+def _content_fingerprint(arr: np.ndarray) -> tuple:
+    flat = arr.view(np.uint8).reshape(-1)
+    pad = (-flat.size) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    x = flat.view(np.uint64)
+    a, b = _fp_vectors()
+    h1 = np.uint64(0)
+    h2 = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for off in range(0, x.size, _FP_BLOCK):
+            chunk = x[off : off + _FP_BLOCK]
+            k = chunk.size
+            h1 = h1 * _FP_MULT1 + (chunk * a[:k]).sum(dtype=np.uint64)
+            h2 = h2 * _FP_MULT2 + (chunk * b[:k]).sum(dtype=np.uint64)
+    return int(h1), int(h2), flat.size
 
 
 def _frame_token(frame) -> object | None:
     """Content token for a source frame: a record-provided cache token
     when the source carries one (file-backed records key on
-    (path, mtime, size)), else SHA-256 of the pixel bytes — the
-    reference's source-id scheme (``processing/pipeline_cache.py:256``).
-    Returns ``None`` (uncacheable) for large plain arrays where hashing
-    would cost more than the upload it avoids."""
+    (path, mtime, size)), else a 128-bit content fingerprint of the pixel
+    bytes — the content-addressed source-id scheme of the reference
+    (``processing/pipeline_cache.py:256``).  Returns ``None`` (uncacheable)
+    for large plain arrays where hashing would cost more than the upload
+    it avoids."""
 
     fn = getattr(frame, "cache_token", None)
     if callable(fn):
@@ -682,11 +769,8 @@ def _frame_token(frame) -> object | None:
             pass
     if getattr(frame, "nbytes", 0) > _HASH_TOKEN_MAX_BYTES:
         return None
-    import hashlib
-
     arr = np.ascontiguousarray(frame)
-    digest = hashlib.sha256(arr.view(np.uint8).reshape(-1)).hexdigest()
-    return ("sha256", digest, arr.shape, arr.dtype.str)
+    return ("fp128", _content_fingerprint(arr), arr.shape, arr.dtype.str)
 
 
 def region_tables_device(frames) -> list:
@@ -806,7 +890,14 @@ def region_tables_device(frames) -> list:
                     lambda labels_b=labels_b, k=k: labels_b[k],
                     fetched[k],
                 )
-        if singles:
+        if len(singles) == 1:
+            # interactive single-frame path: fetch the bundle directly —
+            # a jnp.stack of one element enqueues an extra dispatch for
+            # nothing on a ~30 ms-latency relay
+            i = singles[0]
+            lab, bundle = _jitted_region_packed(capacity)(device_gray(i))
+            out[i] = ((lambda lab=lab: lab), np.asarray(bundle))
+        elif singles:
             fn = _jitted_region_packed(capacity)
             outs = [fn(device_gray(i)) for i in singles]  # async, no blocking
             # ONE stacked transfer for the stragglers: per-bundle
@@ -816,8 +907,19 @@ def region_tables_device(frames) -> list:
                 out[i] = (lambda lab=outs[k][0]: lab, fetched[k])
         return [out[i] for i in idx]
 
-    eligible = [i for i in range(len(frames)) if i not in oversize]
     tables: List[Dict] = [{"saturated": True}] * len(frames)
+    # content-token memo: an unchanged source re-extracts from the host
+    # cache without touching the device (reference result-cache semantics,
+    # ui/preprocessing.py:2365-2379)
+    eligible: List[int] = []
+    for i in range(len(frames)):
+        if i in oversize:
+            continue
+        hit = None if tokens[i] is None else _TABLE_CACHE.get(tokens[i])
+        if hit is not None:
+            tables[i] = hit
+        else:
+            eligible.append(i)
     pending = list(eligible)
     for capacity in (FAST_REGIONS, MID_REGIONS, MAX_REGIONS):
         if not pending:
@@ -832,6 +934,11 @@ def region_tables_device(frames) -> list:
         for (labels, bundle), i in zip(results, run):
             tables[i] = _finalize_region_table(bundle, labels, capacity)
         pending = [i for i in pending if tables[i].get("saturated")]
+    for i in eligible:
+        # memo saturated outcomes too: the same content saturates again,
+        # so the caller's host fallback shouldn't re-pay the device climb
+        if tokens[i] is not None:
+            _TABLE_CACHE.put(tokens[i], tables[i])
     return tables
 
 
