@@ -38,18 +38,39 @@ def probe_and_tune(floor_bytes: int = 4 << 20) -> dict:
     """One-shot link probe: fetch a 32 MiB buffer at several chunk sizes
     and set :data:`CHUNK_BYTES` to the largest size within 10% of the best
     rate (never below ``floor_bytes`` — the tuned relay default stays the
-    floor, so this box cannot regress).  Returns the measured table.
+    floor, so this box cannot regress).  Also measures the round-trip
+    latency (tiny fetch) and the H2D upload rate, which the streaming
+    engine's :func:`~yamimageprocessor_tpu.parallel.tiling.autotune_transfer`
+    uses to classify the link regime.  Returns the measured table.
 
-    An explicit ``YAM_FETCH_CHUNK_BYTES`` override wins and skips probing.
+    An explicit ``YAM_FETCH_CHUNK_BYTES`` override wins and skips the
+    chunk-size choice (the latency/rate measurements still run).
     """
 
     import os
     import time
 
     global CHUNK_BYTES
-    if os.environ.get("YAM_FETCH_CHUNK_BYTES"):
-        return {"chunk_bytes": CHUNK_BYTES, "source": "env"}
     import jax
+
+    env_forced = bool(os.environ.get("YAM_FETCH_CHUNK_BYTES"))
+
+    # round-trip latency: a minimal fetch is all latency, no bandwidth
+    tiny = jax.device_put(np.zeros(1024, np.uint8))
+    np.asarray(tiny)  # settle + warm
+    lat = []
+    for _ in range(3):
+        start = time.perf_counter()
+        np.asarray(tiny)
+        lat.append(time.perf_counter() - start)
+    latency_s = min(lat)
+
+    # H2D rate: one 16 MiB upload, settled by a scalar fetch
+    h2d_buf = np.zeros(16 << 20, np.uint8)
+    jax.block_until_ready(jax.device_put(h2d_buf))  # warm path
+    start = time.perf_counter()
+    jax.block_until_ready(jax.device_put(h2d_buf))
+    h2d_bps = h2d_buf.nbytes / max(time.perf_counter() - start, 1e-9)
 
     buf = jax.device_put(np.zeros(32 << 20, np.uint8))
     np.asarray(buf[:1])  # settle the upload
@@ -60,14 +81,18 @@ def probe_and_tune(floor_bytes: int = 4 << 20) -> dict:
         fetch(buf, size)
         rates[size] = buf.nbytes / max(time.perf_counter() - start, 1e-9)
     best = max(rates.values())
-    chosen = max(
-        [s for s, r in rates.items() if r >= 0.9 * best] + [floor_bytes]
-    )
-    CHUNK_BYTES = max(chosen, floor_bytes)
+    if not env_forced:
+        chosen = max(
+            [s for s, r in rates.items() if r >= 0.9 * best] + [floor_bytes]
+        )
+        CHUNK_BYTES = max(chosen, floor_bytes)
     return {
         "chunk_bytes": CHUNK_BYTES,
         "rates_MBps": {s: round(r / 1e6, 1) for s, r in rates.items()},
-        "source": "probe",
+        "latency_ms": round(latency_s * 1e3, 2),
+        "h2d_MBps": round(h2d_bps / 1e6, 1),
+        "d2h_MBps": round(best / 1e6, 1),
+        "source": "env" if env_forced else "probe",
     }
 
 
