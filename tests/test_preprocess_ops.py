@@ -435,6 +435,34 @@ def test_sepconv_pallas_interpret_parity():
         assert (out == ref).all(), shape
 
 
+def test_sepconv_pallas_channel_planes_parity():
+    """Channel frames route channels onto the kernel's frame grid
+    (sep_filter_u8_planes): bit parity with the XLA 3-channel path."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.ops import filters as F
+    from yamimageprocessor_tpu.ops._kernels import gaussian_taps
+    from yamimageprocessor_tpu.ops.sepconv_pallas import sep_filter_u8_planes
+
+    rng = np.random.default_rng(14)
+    taps = jnp.asarray(gaussian_taps(5), jnp.float32)
+    for shape in [(64, 128, 3), (52, 130, 4)]:
+        imgs = rng.integers(0, 256, (2,) + shape, dtype=np.uint8)
+        ref = np.stack(
+            [
+                np.asarray(
+                    F.to_uint8_j(F.sep_filter_j(jnp.asarray(f), taps, taps))
+                )
+                for f in imgs
+            ]
+        )
+        out = np.asarray(
+            sep_filter_u8_planes(jnp.asarray(imgs), taps, taps, interpret=True)
+        )
+        assert (out == ref).all(), shape
+
+
 def test_median25_network_exhaustive_zero_one():
     """0-1 principle proof of the ksize=5 median construction: sorting the
     window's columns then rows and taking the forgetful median of the 13

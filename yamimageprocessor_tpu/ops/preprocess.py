@@ -536,12 +536,15 @@ def noise_reduction_j(img, dyn, *, method: str = "Gaussian", ksize: int = 5):
 
         if (
             jax.default_backend() == "tpu"
-            and img.ndim == 2
+            and img.ndim in (2, 3)
             and img.dtype == np.uint8
         ):
             # one VMEM pass: x-taps as lane rolls, y-taps as sublane
             # slices, same f32 accumulation order (bit parity asserted in
-            # interpret mode)
+            # interpret mode).  Channel frames route channels onto the
+            # kernel's frame grid (bit-exact per-channel planes) — the XLA
+            # lane-tap fallback on BGR was the single largest piece of the
+            # BASELINE CLAHE chain (17.8 of ~40 ms at 64x1024^2).
             from yamimageprocessor_tpu.ops.sepconv_pallas import (
                 sep_filter_u8_batchable,
             )

@@ -104,12 +104,30 @@ def sep_filter_u8_pallas(imgs, taps_y, taps_x, *, interpret: bool = False):
     return out[:, :h, :w]
 
 
+def sep_filter_u8_planes(imgs, taps_y, taps_x, *, interpret: bool = False):
+    """Channel-image twin: ``imgs`` (N, H, W, C) uint8 → same shape.
+
+    Channels move to the pallas grid's frame axis (one (N*C, H, W) batched
+    call), exactly equivalent to the XLA path's per-channel lanes: the
+    taps apply per channel with identical f32 accumulation order, so the
+    result is bit-exact vs ``to_uint8_j(sep_filter_j(img, ty, tx))``.  The
+    two u8 transposes cost ~2x frame bytes of HBM traffic — small against
+    the lane-shuffle taps they replace."""
+
+    import jax.numpy as jnp
+
+    n, h, w, c = imgs.shape
+    planes = jnp.transpose(imgs, (0, 3, 1, 2)).reshape(n * c, h, w)
+    out = sep_filter_u8_pallas(planes, taps_y, taps_x, interpret=interpret)
+    return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
+
+
 _batchable = None
 
 
 def sep_filter_u8_batchable():
     """vmap-safe single-frame wrapper (batched frames dispatch the one-call
-    batched grid)."""
+    batched grid); accepts (H, W) gray or (H, W, C) channel frames."""
 
     global _batchable
     if _batchable is not None:
@@ -119,15 +137,23 @@ def sep_filter_u8_batchable():
 
     @jax.custom_batching.custom_vmap
     def one(img, ty, tx):
+        if img.ndim == 3:  # (H, W, C)
+            return sep_filter_u8_planes(img[None], ty, tx)[0]
         return sep_filter_u8_pallas(img[None], ty, tx)[0]
 
     @one.def_vmap
     def _rule(axis_size, in_batched, img, tx_ty, tx):  # noqa: ANN001
         del axis_size, in_batched
+        if img.ndim == 4:  # (N, H, W, C)
+            return sep_filter_u8_planes(img, tx_ty, tx), True
         return sep_filter_u8_pallas(img, tx_ty, tx), True
 
     _batchable = one
     return _batchable
 
 
-__all__ = ["sep_filter_u8_pallas", "sep_filter_u8_batchable"]
+__all__ = [
+    "sep_filter_u8_pallas",
+    "sep_filter_u8_planes",
+    "sep_filter_u8_batchable",
+]
