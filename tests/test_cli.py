@@ -69,7 +69,9 @@ def test_cli_batch_and_extract(workspace):
         "extract", str(tmp_path / "in" / "cell0.png"), str(tmp_path / "csv"),
     ])
     assert rc == 0
-    assert (tmp_path / "csv" / "cell0_histogram.csv").exists()
+    # verbatim method filename, matching the reference's
+    # ui/extraction.py:1858-1859 layout (method name as registered)
+    assert (tmp_path / "csv" / "cell0_Histogram.csv").exists()
 
 
 def test_cli_process_without_order_errors(workspace):

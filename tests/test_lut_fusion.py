@@ -139,3 +139,23 @@ def test_histogram256_lane_grouped_parity():
         # the production non-interpret entry (CPU fallback off-TPU)
         fb = np.asarray(histogram256_lane_grouped(jnp.asarray(tiles)))
         assert (fb == want).all(), (n, px)
+
+
+def test_histogram256_swar_decode_adversarial():
+    """SWAR-decode edge cases through the real kernel (interpret mode):
+    constant-255 tiles drive plane bit 31 (the arithmetic-shift masking)
+    and single-bin counts of 65536 > 2^15 drive the hi-half mask — both
+    would corrupt silently if either mask regressed."""
+
+    import jax.numpy as jnp
+
+    from yamimageprocessor_tpu.pallas_kernels import histogram256_lane_grouped
+
+    for value in (0, 128, 200, 255):
+        tiles = np.full((9, 256 * 256), value, np.uint8)
+        got = np.asarray(
+            histogram256_lane_grouped(jnp.asarray(tiles), interpret=True)
+        )
+        want = np.zeros((9, 256), np.int64)
+        want[:, value] = 256 * 256
+        assert (got == want).all(), value

@@ -465,16 +465,18 @@ def test_sepconv_pallas_channel_planes_parity():
 
 def test_median25_network_exhaustive_zero_one():
     """0-1 principle proof of the ksize=5 median construction: sorting the
-    window's columns then rows and taking the forgetful median of the 13
-    rank-feasible positions computes the median of 25 on ALL 2^25 binary
-    inputs (a comparator network correct on every 0-1 input is correct on
-    every input).  Guards _SORT5_PAIRS and _MEDIAN25_CANDIDATES."""
+    window's columns, extracting the rank-feasible candidate multisets per
+    row (median25_candidates_partial), and taking the forgetful median
+    computes the median of 25 on ALL 2^25 binary inputs (the construction
+    is min/max-monotone, so a network correct on every 0-1 input is
+    correct on every input).  Guards _SORT5_PAIRS and the partial
+    candidate extraction."""
 
     import itertools
 
     from yamimageprocessor_tpu.ops.filters import (
-        _MEDIAN25_CANDIDATES,
         _SORT5_PAIRS,
+        median25_candidates_partial,
     )
 
     for bits in itertools.product([0, 1], repeat=5):
@@ -507,9 +509,7 @@ def test_median25_network_exhaustive_zero_one():
             col = sort5([m[r][c] for r in range(5)])
             for r in range(5):
                 m[r][c] = col[r]
-        for r in range(5):
-            m[r] = sort5(m[r])
-        vals = [m[i][j] for i, j in _MEDIAN25_CANDIDATES]
+        vals = median25_candidates_partial(m, mn, mx)
 
         def dropmm(win):
             win = list(win)

@@ -84,11 +84,13 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
 
     def kernel(by0_r, by1_r, bx0_r, bx1_r, v_ref, w_ref, fy_ref, fx_ref,
                out_ref):
-        # grid is (frame, y-band) only — a 3-D (n, nby, nbx) grid's
-        # per-step pipeline bookkeeping overflowed the 1 MiB SMEM at
-        # batch 64; the x-segments are a static in-kernel loop instead
-        f = pl.program_id(0)
-        i = pl.program_id(1)
+        # grid is (y-band, frame) only — a 3-D grid's per-step pipeline
+        # bookkeeping overflowed the 1 MiB SMEM at batch 64; the
+        # x-segments are a static in-kernel loop instead.  Band-major
+        # order keeps the fy weight block resident across the inner
+        # frame sweep (frame-major re-DMA'd it once per frame).
+        i = pl.program_id(0)
+        f = pl.program_id(1)
         ty0 = by0_r[i]
         ty1 = by1_r[i]
         x_row = v_ref[0].astype(jnp.int32)
@@ -118,17 +120,17 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # by0, by1, bx0, bx1
-        grid=(n, nby),
+        grid=(nby, n),
         in_specs=[
-            pl.BlockSpec((1, bh, w), lambda f, i, *_: (f, i, 0),
+            pl.BlockSpec((1, bh, w), lambda i, f, *_: (f, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed tables
-            pl.BlockSpec((bh, w), lambda f, i, *_: (i, 0),
+            pl.BlockSpec((bh, w), lambda i, f, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, w), lambda f, i, *_: (0, 0),
+            pl.BlockSpec((bh, w), lambda i, f, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, w), lambda f, i, *_: (f, i, 0),
+        out_specs=pl.BlockSpec((1, bh, w), lambda i, f, *_: (f, i, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -142,7 +144,7 @@ def clahe_blend_pallas(vals, luts, interp, grid: Tuple[int, int], *,
         jnp.asarray(by1),
         jnp.asarray(bx0),
         jnp.asarray(bx1),
-        vals.astype(jnp.int32),
+        vals.astype(jnp.uint8),  # cast to i32 in-kernel: 1/4 the DMA bytes
         words,
         fy_map,
         fx_map,

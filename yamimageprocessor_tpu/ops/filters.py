@@ -211,6 +211,60 @@ _MEDIAN25_CANDIDATES = (
 )
 
 
+def median25_candidates_partial(rows5, mn, mx):
+    """The 13 rank-feasible candidates of `_MEDIAN25_CANDIDATES` as
+    MULTISETS, without fully sorting the rows: per column-sorted row only
+    the needed ranks are extracted (top-2 / top-3 / mid-3 / bottom-3 /
+    bottom-2 — 32 exchanges total vs 45 for five full row 5-sorts).  The
+    candidates feed a forgetful median, which is order-insensitive, so
+    multiset equality is all that is required; the whole construction is
+    min/max-monotone, so the exhaustive 0-1 test
+    (tests/test_preprocess_ops.py::test_median25_network_exhaustive_zero_one)
+    is a proof for all inputs.
+
+    ``rows5`` is a list of 5 rows, each a list of the 5 window taps of the
+    column-rank plane; ``mn``/``mx`` are the comparator pair (jnp min/max
+    on device, logical and/or in the 0-1 proof)."""
+
+    def top2(v):
+        # top-2 of 5 as a multiset: 2nd-of-4 = max(min of the two pair
+        # maxima, max of the two pair minima), then merge the 5th element
+        a, b, c, d, e = v
+        p1, p2 = mx(a, b), mn(a, b)
+        q1, q2 = mx(c, d), mn(c, d)
+        m4, t = mx(p1, q1), mn(p1, q1)
+        s4 = mx(t, mx(p2, q2))
+        return [mx(m4, e), mx(s4, mn(m4, e))]
+
+    def bottom2(v):
+        a, b, c, d, e = v
+        p1, p2 = mn(a, b), mx(a, b)
+        q1, q2 = mn(c, d), mx(c, d)
+        m4, t = mn(p1, q1), mx(p1, q1)
+        s4 = mn(t, mn(p2, q2))
+        return [mn(m4, e), mn(s4, mx(m4, e))]
+
+    def drop_min(v):
+        v = list(v)
+        for i in range(1, len(v)):
+            v[0], v[i] = mn(v[0], v[i]), mx(v[0], v[i])
+        return v[1:]
+
+    def drop_max(v):
+        v = list(v)
+        for i in range(len(v) - 1):
+            v[i], v[-1] = mn(v[i], v[-1]), mx(v[i], v[-1])
+        return v[:-1]
+
+    return (
+        top2(rows5[0])
+        + drop_min(drop_min(rows5[1]))
+        + drop_max(drop_min(rows5[2]))
+        + drop_max(drop_max(rows5[3]))
+        + bottom2(rows5[4])
+    )
+
+
 def median_j(img, ksize: int):
     """Exact integer median (bit-identical to :func:`median_np`).
 
@@ -245,10 +299,14 @@ def median_j(img, ksize: int):
 
         # vertical sort on full-width planes: amortized across the 5
         # horizontally-overlapping windows sharing each column (9 CEs for
-        # all five rank planes instead of 45 per window)
+        # all five rank planes instead of 45 per window); the row stage
+        # extracts only the rank-feasible candidates per row (32 CEs vs
+        # 45 for full row sorts — the forgetful median below is
+        # order-insensitive, so multisets suffice)
         vsorted = sort5([work[j : j + h, :] for j in range(5)])
-        rows = [sort5([p[:, i : i + w] for i in range(5)]) for p in vsorted]
-        window = [rows[i][j] for i, j in _MEDIAN25_CANDIDATES]
+        window = median25_candidates_partial(
+            [[p[:, i : i + w] for i in range(5)] for p in vsorted], mn, mx
+        )
 
         def drop_min_max13(win):
             win = list(win)

@@ -58,15 +58,35 @@ def sep_filter_u8_pallas(imgs, taps_y, taps_x, *, interpret: bool = False):
     r2 = stage
 
     def kernel(ty_ref, tx_ref, in_hbm, out_ref, scratch, sem):
+        # double-buffered staging: the slot for step s+1 is filled while
+        # step s computes, so the halo DMA never serializes with the taps
         f = pl.program_id(0)
         i = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            in_hbm.at[f, pl.ds(i * rows, r2)], scratch, sem
-        )
-        copy.start()
-        copy.wait()
+        step = f * nblocks + i
+        slot = step % 2
+
+        @pl.when(step == 0)
+        def _first():
+            pltpu.make_async_copy(
+                in_hbm.at[f, pl.ds(i * rows, r2)], scratch.at[0], sem.at[0]
+            ).start()
+
+        nf = jnp.where(i + 1 < nblocks, f, f + 1)
+        ni = jnp.where(i + 1 < nblocks, i + 1, 0)
+
+        @pl.when(step + 1 < n * nblocks)
+        def _prefetch():
+            pltpu.make_async_copy(
+                in_hbm.at[nf, pl.ds(ni * rows, r2)],
+                scratch.at[(step + 1) % 2],
+                sem.at[(step + 1) % 2],
+            ).start()
+
+        pltpu.make_async_copy(
+            in_hbm.at[f, pl.ds(i * rows, r2)], scratch.at[slot], sem.at[slot]
+        ).wait()
         # Mosaic has no direct u8->f32 cast; widen via int32
-        x = scratch[:].astype(jnp.int32).astype(jnp.float32)
+        x = scratch[slot].astype(jnp.int32).astype(jnp.float32)
         acc = tx_ref[0] * x
         for t in range(1, kx):
             rolled = pltpu.roll(x, (WP - t) % WP, axis=1)
@@ -90,8 +110,8 @@ def sep_filter_u8_pallas(imgs, taps_y, taps_x, *, interpret: bool = False):
             (1, rows, WP), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((r2, WP), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, r2, WP), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
